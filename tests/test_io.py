@@ -1,0 +1,109 @@
+import numpy as np
+
+from kintinuous_tpu.config import CameraIntrinsics
+from kintinuous_tpu.eval.ate import absolute_trajectory_error, align_umeyama
+from kintinuous_tpu.io.klg import KlgLogReader, KlgLogWriter
+from kintinuous_tpu.io.synth import Scene, generate_klg, orbit_trajectory, render_frame
+from kintinuous_tpu.io.tum import load_trajectory, save_trajectory, quat_to_rot, rot_to_quat
+
+
+def test_klg_roundtrip(tmp_path):
+    path = str(tmp_path / "t.klg")
+    rng = np.random.default_rng(0)
+    depths = [rng.integers(0, 5000, (60, 80)).astype(np.uint16) for _ in range(3)]
+    rgbs = [rng.integers(0, 255, (60, 80, 3)).astype(np.uint8) for _ in range(3)]
+    with KlgLogWriter(path) as w:
+        for i, (d, c) in enumerate(zip(depths, rgbs)):
+            w.write(i * 33333, d, c)
+    with KlgLogReader(path, width=80, height=60) as r:
+        assert r.total_num_frames == 3
+        frames = list(r)
+    assert len(frames) == 3
+    for i, f in enumerate(frames):
+        assert f.timestamp == i * 33333
+        np.testing.assert_array_equal(f.depth, depths[i])  # depth is lossless
+        assert f.rgb.shape == (60, 80, 3)  # rgb is jpeg-lossy
+        assert np.abs(f.rgb.astype(int) - rgbs[i].astype(int)).mean() < 60
+
+
+def test_tum_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    poses = []
+    for _ in range(5):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        T = np.eye(4)
+        T[:3, :3] = quat_to_rot(q)
+        T[:3, 3] = rng.normal(size=3)
+        poses.append(T)
+    path = str(tmp_path / "t.txt")
+    save_trajectory(path, [0.1 * i for i in range(5)], poses)
+    stamps, loaded = load_trajectory(path)
+    np.testing.assert_allclose(stamps, [0.1 * i for i in range(5)], atol=1e-6)
+    for a, b in zip(poses, loaded):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_quat_rot_roundtrip():
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        R = quat_to_rot(q)
+        q2 = rot_to_quat(R)
+        if np.dot(q, q2) < 0:
+            q2 = -q2
+        np.testing.assert_allclose(q, q2, atol=1e-6)
+
+
+def test_render_depth_geometry():
+    cam = CameraIntrinsics(fx=70, fy=70, cx=40, cy=30, width=80, height=60)
+    scene = Scene(
+        box_min=np.array([-2.0, -2.0, -2.0]), box_max=np.array([2.0, 2.0, 2.0])
+    )
+    T = np.eye(4)
+    depth, rgb = render_frame(scene, cam, T)
+    # central pixel looks straight down +z at the wall z=2
+    assert abs(depth[30, 40] / 1000.0 - 2.0) < 0.01
+    assert rgb.shape == (60, 80, 3)
+
+
+def test_ate_perfect_and_offset():
+    rng = np.random.default_rng(3)
+    n = 50
+    poses = orbit_trajectory(n)
+    stamps = np.arange(n) / 30.0
+    gt = np.array(poses)
+    ate, cnt = absolute_trajectory_error(stamps, gt, stamps, gt)
+    assert cnt == n
+    assert ate < 1e-9
+    # rigidly displaced trajectory aligns back to zero error
+    off = np.eye(4)
+    off[:3, 3] = [1.0, -2.0, 0.5]
+    est = np.array([off @ T for T in poses])
+    ate2, _ = absolute_trajectory_error(stamps, gt, stamps, est)
+    assert ate2 < 1e-6
+
+
+def test_umeyama_recovers_transform():
+    rng = np.random.default_rng(4)
+    src = rng.normal(size=(30, 3))
+    R = quat_to_rot(np.array([0.1, 0.2, -0.3, 0.9]) / np.linalg.norm([0.1, 0.2, -0.3, 0.9]))
+    t = np.array([1.0, 2.0, 3.0])
+    dst = src @ R.T + t
+    s, R2, t2 = align_umeyama(src, dst)
+    np.testing.assert_allclose(R2, R, atol=1e-8)
+    np.testing.assert_allclose(t2, t, atol=1e-8)
+
+
+def test_generate_klg(tmp_path):
+    cam = CameraIntrinsics(fx=70, fy=70, cx=40, cy=30, width=80, height=60)
+    path = str(tmp_path / "seq.klg")
+    gt = str(tmp_path / "seq.gt")
+    generate_klg(path, cam, orbit_trajectory(4), gt_path=gt)
+    with KlgLogReader(path, width=80, height=60) as r:
+        frames = list(r)
+    assert len(frames) == 4
+    assert (frames[0].depth > 0).mean() > 0.99
+    stamps, poses = load_trajectory(gt)
+    assert len(stamps) == 4
