@@ -1,0 +1,138 @@
+"""Raycasting the rolling TSDF volume (jnp).
+
+TPU-native equivalent of src/frontend/cuda/ray_caster.cu (raycast,
+:433-471): produces the predicted vertex/normal/colour maps used by the
+next frame's frame-to-model ICP and the GUI.
+
+Redesign notes vs. the CUDA kernel:
+- the per-pixel data-dependent while-march (:298-348) becomes a
+  fixed-step `lax.fori_loop` over ALL pixels with per-pixel active
+  masks — XLA-compilable, no dynamic shapes;
+- surface refinement keeps the linear zero-crossing interpolation
+  between the last two samples; normals come from the analytic
+  gradient of the trilinear cell (ops/tsdf.trilinear_gradient) instead
+  of 6 extra interpolated taps (:380-420);
+- colour/weight are nearest-sampled at the hit (visual only).
+
+The naive march samples the full-res volume every step; raycast_fast
+(coarse occupancy sphere-tracing + temporal warm start) lands in the
+perf pass — this module is the correctness reference for it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from kintinuous_tpu.config import CameraIntrinsics
+from kintinuous_tpu.ops.tsdf import (
+    VolumeState,
+    trilinear_gradient,
+    trilinear_sample,
+)
+
+
+class RaycastResult(NamedTuple):
+    vmap: jnp.ndarray  # (3,H,W) hit points, local-volume metres; NaN = miss
+    nmap: jnp.ndarray  # (3,H,W) unit normals (out of surface); NaN = miss
+    color: jnp.ndarray  # (3,H,W) RGB 0..255 (0 on miss)
+    weight: jnp.ndarray  # (H,W) fusion weight at hit (0 on miss)
+    depth: jnp.ndarray  # (H,W) z-depth in camera frame (0 on miss)
+
+
+def _ray_box(o, d, box_size):
+    """Slab intersection of rays with [0, box]^3. Returns (t_near, t_far)."""
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d >= 0, 1e-12, -1e-12))
+    t0 = (0.0 - o[:, None, None]) * inv
+    t1 = (box_size - o[:, None, None]) * inv
+    tmin = jnp.minimum(t0, t1).max(axis=0)
+    tmax = jnp.maximum(t0, t1).min(axis=0)
+    return tmin, tmax
+
+
+def raycast(
+    vol: VolumeState,
+    cam: CameraIntrinsics,
+    T_cam_to_local: jnp.ndarray,
+    voxel_size: float,
+    volume_size: float,
+    trunc_dist: float,
+    step_factor: float = 0.8,
+    min_range: float = 0.3,
+    max_range: float | None = None,
+) -> RaycastResult:
+    H, W = cam.height, cam.width
+    R = vol.tsdf.shape[0]
+    step = step_factor * trunc_dist  # reference step (ray_caster.cu:444)
+    if max_range is None:
+        max_range = volume_size * math.sqrt(3.0)
+    n_steps = int(math.ceil((max_range - min_range) / step))
+
+    Rot = T_cam_to_local[:3, :3]
+    o = T_cam_to_local[:3, 3]  # (3,) local metres
+
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    rx = (u - cam.cx) / cam.fx
+    ry = (v - cam.cy) / cam.fy
+    ones = jnp.ones((H, W), jnp.float32)
+    d_cam = jnp.stack([rx * ones, ry * ones, ones], axis=0)
+    d = jnp.einsum("ij,jhw->ihw", Rot, d_cam)
+    dn = d / jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+    # converting ray length to camera z-depth: z = t * (dn . cam_z_axis)
+    cos_z = jnp.einsum("j,jhw->hw", Rot[:, 2], dn)
+
+    t_near, t_far = _ray_box(o, dn, volume_size)
+    t_start = jnp.maximum(min_range, t_near + 1e-5)
+    t_stop = jnp.minimum(t_far - 1e-5, max_range)
+
+    def sample_at(t):
+        pos = o[:, None, None] + t[None] * dn  # (3,H,W) local metres
+        pos_vox = jnp.moveaxis(pos, 0, -1) / voxel_size - 0.5  # (H,W,3)[x,y,z]
+        return trilinear_sample(vol.tsdf, vol.wrap, pos_vox)
+
+    def body(i, carry):
+        prev, found, t_hit = carry
+        t = t_start + (i + 1) * step
+        val, _, _ = sample_at(t)
+        active = jnp.logical_not(found) & (t <= t_stop)
+        crossing = active & (prev > 0) & (val < 0)
+        denom = prev - val
+        frac_t = jnp.where(jnp.abs(denom) > 1e-12, prev / denom, 0.5)
+        t_cross = (t - step) + step * frac_t
+        t_hit = jnp.where(crossing, t_cross, t_hit)
+        found = found | crossing
+        prev = jnp.where(active, val, prev)
+        return prev, found, t_hit
+
+    prev0, _, _ = sample_at(t_start)
+    init = (prev0, jnp.zeros((H, W), bool), jnp.zeros((H, W), jnp.float32))
+    _, found, t_hit = jax.lax.fori_loop(0, n_steps, body, init)
+
+    pos_hit = o[:, None, None] + t_hit[None] * dn
+    pos_vox = jnp.moveaxis(pos_hit, 0, -1) / voxel_size - 0.5
+    _, corners, frac = trilinear_sample(vol.tsdf, vol.wrap, pos_vox)
+    grad = trilinear_gradient(corners, frac)  # (H,W,3)[x,y,z]
+    gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=-1, keepdims=True))
+    normal = jnp.moveaxis(grad / jnp.maximum(gnorm, 1e-12), -1, 0)
+    ok = found & (gnorm[..., 0] > 1e-9)
+
+    # nearest-voxel colour/weight at the hit (visual only)
+    gi = jnp.round(pos_vox).astype(jnp.int32)
+    ix = jnp.mod(gi[..., 0] + vol.wrap[0], R)
+    iy = jnp.mod(gi[..., 1] + vol.wrap[1], R)
+    iz = jnp.mod(gi[..., 2] + vol.wrap[2], R)
+    flat_idx = (iz * R + iy) * R + ix
+    col = vol.color.reshape(-1, 3)[flat_idx]  # (H,W,3)
+    wgt = vol.weight.reshape(-1)[flat_idx]
+
+    nan = jnp.float32(jnp.nan)
+    vmap = jnp.where(ok[None], pos_hit, nan)
+    nmap = jnp.where(ok[None], normal, nan)
+    color = jnp.where(ok[None], jnp.moveaxis(col, -1, 0), 0.0)
+    weight = jnp.where(ok, wgt, 0.0)
+    depth = jnp.where(ok, t_hit * cos_z, 0.0)
+    return RaycastResult(vmap=vmap, nmap=nmap, color=color, weight=weight, depth=depth)
