@@ -38,7 +38,7 @@ def exp_so3(w):
     W = hat(w)
     W2 = W @ W
     # sin(t)/t and (1-cos(t))/t^2 with Taylor fallbacks near zero
-    small = theta2 < 1e-12
+    small = theta2 < 1e-4  # f32: Taylor beats 1-cos cancellation below here
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     eye = jnp.eye(3, dtype=w.dtype)
@@ -95,7 +95,7 @@ def exp_se3(xi):
     theta = jnp.sqrt(theta2 + 1e-32)
     W = hat(w)
     W2 = W @ W
-    small = theta2 < 1e-12
+    small = theta2 < 1e-4  # f32: Taylor beats 1-cos cancellation below here
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     c = jnp.where(
@@ -117,7 +117,7 @@ def log_se3(T):
     theta = jnp.sqrt(theta2 + 1e-32)
     W = hat(w)
     W2 = W @ W
-    small = theta2 < 1e-12
+    small = theta2 < 1e-4  # f32: Taylor beats 1-cos cancellation below here
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2

@@ -27,21 +27,41 @@ class Sphere:
 
 
 @dataclass
+class Cuboid:
+    """Axis-aligned solid box (exterior hit)."""
+
+    bmin: np.ndarray
+    bmax: np.ndarray
+
+
+@dataclass
 class Scene:
-    """Interior of an axis-aligned room with spheres inside."""
+    """Interior of an axis-aligned room with spheres and cuboids inside.
+
+    The default scene is deliberately ICP-friendly: several curved and
+    planar surfaces at different orientations visible from the origin
+    looking +z, so all 6 motion DOF are constrained (a fronto-parallel
+    wall alone leaves x/y slide and roll free).
+    """
 
     box_min: np.ndarray = field(default_factory=lambda: np.array([-2.0, -2.0, -2.0]))
     box_max: np.ndarray = field(default_factory=lambda: np.array([2.0, 2.0, 2.0]))
     spheres: List[Sphere] = field(default_factory=list)
+    cuboids: List[Cuboid] = field(default_factory=list)
 
     @staticmethod
     def default() -> "Scene":
         return Scene(
             spheres=[
-                Sphere(np.array([0.0, 0.3, 0.8]), 0.45),
-                Sphere(np.array([-0.8, -0.5, 0.2]), 0.3),
-                Sphere(np.array([0.9, -0.2, -0.6]), 0.35),
-            ]
+                Sphere(np.array([0.0, 0.35, 1.1]), 0.35),
+                Sphere(np.array([-0.55, -0.35, 1.3]), 0.3),
+                Sphere(np.array([0.6, -0.3, 1.5]), 0.35),
+            ],
+            cuboids=[
+                Cuboid(np.array([-0.9, 0.1, 1.5]), np.array([-0.3, 0.7, 1.95])),
+                Cuboid(np.array([0.25, 0.45, 1.3]), np.array([0.85, 0.95, 1.8])),
+                Cuboid(np.array([-0.15, -0.8, 1.6]), np.array([0.35, -0.35, 1.95])),
+            ],
         )
 
 
@@ -74,6 +94,18 @@ def _ray_sphere(origins, dirs, center, radius):
     return np.where(t > 1e-6, t, np.inf)
 
 
+def _ray_cuboid(origins, dirs, bmin, bmax):
+    """First positive exterior hit with an AABB (slab method)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / dirs
+    t0 = (bmin - origins) * inv
+    t1 = (bmax - origins) * inv
+    tnear = np.nanmax(np.minimum(t0, t1), axis=-1)
+    tfar = np.nanmin(np.maximum(t0, t1), axis=-1)
+    hit = (tnear <= tfar) & (tnear > 1e-6)
+    return np.where(hit, tnear, np.inf)
+
+
 def render_frame(
     scene: Scene,
     cam: CameraIntrinsics,
@@ -101,6 +133,11 @@ def render_frame(
         closer = ts < t_hit
         t_hit = np.where(closer, ts, t_hit)
         hit_id = np.where(closer, i + 1, hit_id)
+    for i, cb in enumerate(scene.cuboids):
+        ts = _ray_cuboid(origins, dirs_n, cb.bmin, cb.bmax)
+        closer = ts < t_hit
+        t_hit = np.where(closer, ts, t_hit)
+        hit_id = np.where(closer, len(scene.spheres) + i + 1, hit_id)
 
     pts = origins + t_hit[..., None] * dirs_n
     # depth = z in camera frame = t_hit / |ray_cam| (ray_cam has z=1)

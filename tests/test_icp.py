@@ -1,0 +1,86 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kintinuous_tpu.config import CameraIntrinsics, tiny_test_config
+from kintinuous_tpu.geometry import se3
+from kintinuous_tpu.io.synth import Scene, render_frame
+from kintinuous_tpu.ops import preprocess as pp
+from kintinuous_tpu.tracking.odometry import (
+    GroundTruthOdometry,
+    build_map_pyramid,
+    icp_odometry,
+)
+
+# bigger camera than tiny config for better conditioning
+CAM = CameraIntrinsics(fx=140.0, fy=140.0, cx=80.0, cy=60.0, width=160, height=120)
+SCENE = Scene.default()
+LEVELS = 3
+ITERS = (6, 5, 4)
+
+
+def maps_for_pose(T_wc):
+    depth_mm, _ = render_frame(SCENE, CAM, T_wc)
+    depth = pp.depth_to_metres(jnp.array(depth_mm.astype(np.float32)))
+    return build_map_pyramid(CAM, depth, LEVELS)
+
+
+def run_icp(T_a, T_b):
+    """Estimate T taking frame-b camera points into frame-a camera frame."""
+    pyr_a = maps_for_pose(T_a)
+    pyr_b = maps_for_pose(T_b)
+    f = jax.jit(lambda ca, cb: icp_odometry(CAM, cb, ca, ITERS))
+    T, count, res = f(pyr_a, pyr_b)
+    return np.array(T), float(count)
+
+
+def twist_pose(xi):
+    return np.array(se3.exp_se3(jnp.array(xi, dtype=jnp.float32)))
+
+
+def check_recovery(xi, tol_t=0.004, tol_r=0.004):
+    T_a = np.eye(4)
+    T_b = twist_pose(xi)  # ground-truth camera motion a->b in world frame
+    T_est, count = run_icp(T_a, T_b)
+    T_gt = np.linalg.inv(T_a) @ T_b  # b-cam -> a-cam
+    err = np.array(se3.log_se3(jnp.array(np.linalg.inv(T_gt) @ T_est, dtype=jnp.float32)))
+    assert count > 1000, f"too few inliers: {count}"
+    assert np.linalg.norm(err[3:]) < tol_t, f"trans err {err}"
+    assert np.linalg.norm(err[:3]) < tol_r, f"rot err {err}"
+
+
+def test_icp_identity():
+    T_est, count = run_icp(np.eye(4), np.eye(4))
+    np.testing.assert_allclose(T_est, np.eye(4), atol=1e-4)
+
+
+def test_icp_small_translation():
+    check_recovery([0, 0, 0, 0.01, -0.015, 0.02])
+
+
+def test_icp_small_rotation():
+    check_recovery([0.02, -0.015, 0.01, 0, 0, 0])
+
+
+def test_icp_combined_motion():
+    check_recovery([0.015, 0.01, -0.01, 0.02, 0.01, -0.015])
+
+
+def test_icp_larger_motion_converges():
+    # ~3 deg + 4 cm — typical inter-frame at 30 Hz is far smaller
+    check_recovery([0.05, 0.0, 0.02, 0.03, -0.02, 0.01], tol_t=0.01, tol_r=0.01)
+
+
+def test_ground_truth_odometry():
+    stamps = np.array([0.0, 1 / 30, 2 / 30])
+    T0 = np.eye(4)
+    d1 = twist_pose([0.01, 0, 0, 0.02, 0, 0])
+    d2 = twist_pose([0, 0.01, 0, 0, 0.015, 0])
+    poses = np.stack([T0, T0 @ d1, T0 @ d1 @ d2])
+    gt = GroundTruthOdometry(stamps, poses)
+    np.testing.assert_allclose(gt.delta(0), np.eye(4), atol=1e-7)  # first frame
+    np.testing.assert_allclose(gt.delta(int(1e6 / 30)), d1, atol=1e-6)
+    np.testing.assert_allclose(gt.delta(int(2e6 / 30)), d2, atol=1e-6)
+    # missing stamp -> identity, keeps last known pose
+    assert not gt.has_pose(int(0.5e6))
+    np.testing.assert_allclose(gt.delta(int(0.5e6)), np.eye(4))
