@@ -52,8 +52,12 @@ def icp_step(
     dist_thresh: float = 0.10,
     angle_thresh_sin: float = math.sin(math.radians(20.0)),
 ) -> GNSystem:
-    """One point-to-plane ICP normal-equation build at one pyramid level."""
-    H, W = vmap_curr.shape[1:]
+    """One point-to-plane ICP normal-equation build at one pyramid level.
+
+    vmap_curr may hold only a row-block of the frame (multi-chip row
+    sharding); association bounds come from the full target maps.
+    """
+    H, W = vmap_prev.shape[1:]
     R = T_curr_to_prev[:3, :3]
     t = T_curr_to_prev[:3, 3]
 
@@ -69,8 +73,8 @@ def icp_step(
     in_img = (s[2] > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
     idx = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
 
-    d = vmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, H, W)
-    n = nmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, H, W)
+    d = vmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, *idx.shape)
+    n = nmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, *idx.shape)
 
     finite = (
         jnp.isfinite(vmap_curr).all(axis=0)
@@ -138,8 +142,16 @@ def icp_solve_level(
     dist_thresh: float = 0.10,
     angle_thresh_sin: float = math.sin(math.radians(20.0)),
     min_inliers: float = 30.0,
+    axis_name: str | None = None,
 ):
-    """Run `iterations` GN steps at one level (ICPOdometry.cpp:98-179)."""
+    """Run `iterations` GN steps at one level (ICPOdometry.cpp:98-179).
+
+    Multi-chip: when axis_name is set, vmap_curr/nmap_curr hold only
+    this device's pixel-row block (vmap_prev stays full) and the 6x6
+    system is psum-reduced over the mesh axis before the replicated
+    solve — the ICI analogue of the reference's single-GPU tree
+    reduction (reduce.cu:89-184).
+    """
 
     def body(_, carry):
         T, _, _ = carry
@@ -147,6 +159,8 @@ def icp_solve_level(
             cam, T, vmap_curr, nmap_curr, vmap_prev, nmap_prev,
             dist_thresh, angle_thresh_sin,
         )
+        if axis_name is not None:
+            sys = GNSystem(*[jax.lax.psum(x, axis_name) for x in sys])
         xi, ok = solve_gn(sys.A, sys.b)
         ok = ok & (sys.count >= min_inliers)
         T_new = se3.exp_se3(xi) @ T

@@ -77,13 +77,20 @@ def integrate(
     trunc_dist: float,
     max_weight: float = 128.0,
     z_chunk: int = 64,
+    z_phys_offset=0,
 ) -> VolumeState:
     """Fuse one frame into the volume (reference tsdf23,
     tsdf_volume.cu:540-639, incl. the discontinuity colour guard and
-    the weight cap at 128, :486)."""
-    R = vol.tsdf.shape[0]
-    z_chunk = min(z_chunk, R)
-    assert R % z_chunk == 0
+    the weight cap at 128, :486).
+
+    Multi-chip: vol.tsdf may be a z-SLAB of a larger cube — pass the
+    slab's first physical z index as z_phys_offset; wrap arithmetic
+    uses the full resolution taken from the (unsharded) y dimension.
+    """
+    Rz = vol.tsdf.shape[0]  # local slab depth
+    R = vol.tsdf.shape[1]  # full resolution (y dim is never sharded)
+    z_chunk = min(z_chunk, Rz)
+    assert Rz % z_chunk == 0
     H, W = depth_m.shape
 
     ray_len = scale_depth(cam, depth_m)  # (H,W)
@@ -106,7 +113,7 @@ def integrate(
     def body(ci, carry):
         tsdf, weight, color = carry
         z0 = ci * z_chunk
-        pz = z0 + jnp.arange(z_chunk, dtype=jnp.int32)
+        pz = z_phys_offset + z0 + jnp.arange(z_chunk, dtype=jnp.int32)
         gz = jnp.mod(pz - wrap[2], R)
         wz = (gz.astype(jnp.float32) + 0.5) * voxel_size  # (C,)
 
@@ -162,7 +169,7 @@ def integrate(
         return tsdf, weight, color
 
     tsdf, weight, color = jax.lax.fori_loop(
-        0, R // z_chunk, body, (vol.tsdf, vol.weight, vol.color)
+        0, Rz // z_chunk, body, (vol.tsdf, vol.weight, vol.color)
     )
     return vol._replace(tsdf=tsdf, weight=weight, color=color)
 
