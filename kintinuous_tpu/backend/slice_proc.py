@@ -1,0 +1,118 @@
+"""Cloud-slice processing (host-side, numpy/scipy).
+
+TPU-native port of CloudSliceProcessor
+(src/backend/CloudSliceProcessor.cpp:38-231): per incoming slice
+  1. weight cull: drop points fused fewer than weight_cull times (:97-114)
+  2. voxel-grid downsample at leaf = voxel size (:119-138)
+  3. k=20 kNN normal estimation, normals oriented towards the camera
+     (:140-151)
+and a save path that concatenates processed slices to a `.pcd`
+(optionally de-overlapped, :180-231).
+
+This stage is deliberately CPU (as in the reference — the backend is
+CPU-bound by design, README.md:186): slices arrive at shift rate
+(~1/s), and kNN/hash grids are a poor fit for the TPU. scipy's cKDTree
+replaces PCL's.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from kintinuous_tpu.config import KintinuousConfig
+from kintinuous_tpu.io.pcd import save_pcd
+from kintinuous_tpu.tracking.tracker import CloudSlice
+
+
+def voxel_downsample(
+    points: np.ndarray, colors: Optional[np.ndarray], weights: Optional[np.ndarray],
+    leaf: float,
+):
+    """Average points (and attrs) within each leaf-sized voxel cell."""
+    if len(points) == 0:
+        return points, colors, weights
+    keys = np.floor(points / leaf).astype(np.int64)
+    # pack 3x21-bit signed grid coords into one int64 key
+    off = 1 << 20
+    k = ((keys[:, 0] + off) << 42) | ((keys[:, 1] + off) << 21) | (keys[:, 2] + off)
+    order = np.argsort(k)
+    k_sorted = k[order]
+    uniq, start, counts = np.unique(k_sorted, return_index=True, return_counts=True)
+
+    def seg_mean(arr):
+        s = np.add.reduceat(arr[order], start, axis=0)
+        return s / counts[:, None] if arr.ndim > 1 else s / counts
+
+    p = seg_mean(points)
+    c = seg_mean(colors.astype(np.float64)).astype(np.uint8) if colors is not None else None
+    w = seg_mean(weights) if weights is not None else None
+    return p, c, w
+
+
+def estimate_normals(
+    points: np.ndarray, k: int = 20, viewpoint: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """PCA normals from k nearest neighbours, flipped towards viewpoint
+    (reference NormalEstimation usage, CloudSliceProcessor.cpp:140-151)."""
+    n = len(points)
+    if n == 0:
+        return np.zeros((0, 3), np.float32)
+    k = min(k, n)
+    tree = cKDTree(points)
+    _, idx = tree.query(points, k=k, workers=-1)
+    nbrs = points[idx]  # (n,k,3)
+    centered = nbrs - nbrs.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered) / k
+    # smallest-eigenvalue eigenvector
+    w, v = np.linalg.eigh(cov)
+    normals = v[:, :, 0]
+    if viewpoint is not None:
+        to_vp = viewpoint[None, :] - points
+        flip = np.sum(normals * to_vp, axis=1) < 0
+        normals[flip] = -normals[flip]
+    return normals.astype(np.float32)
+
+
+class SliceProcessor:
+    """Consumes raw CloudSlices, fills slice.processed in place."""
+
+    def __init__(self, cfg: KintinuousConfig):
+        self.cfg = cfg
+        self.processed: List[CloudSlice] = []
+
+    def process(self, sl: CloudSlice) -> CloudSlice:
+        cfg = self.cfg
+        keep = sl.weights >= cfg.weight_cull
+        pts, cols, wgts = sl.points[keep], sl.colors[keep], sl.weights[keep]
+        pts, cols, wgts = voxel_downsample(pts, cols, wgts, cfg.voxel_size)
+        normals = estimate_normals(pts, k=20, viewpoint=sl.pose[:3, 3])
+        sl.processed = {
+            "points": pts.astype(np.float32),
+            "colors": cols if cols is not None else np.zeros((len(pts), 3), np.uint8),
+            "normals": normals,
+            "weights": wgts,
+        }
+        self.processed.append(sl)
+        return sl
+
+    def save(self, path: str, deoverlap: bool = False) -> int:
+        """Concatenate processed slices -> one .pcd
+        (CloudSliceProcessor::save, :180-231). With deoverlap, re-runs a
+        voxel-grid pass over the union to collapse the shift overlaps."""
+        parts = [s.processed for s in self.processed if s.processed is not None]
+        if not parts:
+            save_pcd(path, np.zeros((0, 3), np.float32))
+            return 0
+        pts = np.concatenate([p["points"] for p in parts])
+        cols = np.concatenate([p["colors"] for p in parts])
+        nrm = np.concatenate([p["normals"] for p in parts])
+        if deoverlap and len(pts):
+            leaf = self.cfg.voxel_size
+            pts2, cols2, _ = voxel_downsample(pts, cols, None, leaf)
+            nrm2 = estimate_normals(pts2, k=20)
+            pts, cols, nrm = pts2.astype(np.float32), cols2, nrm2
+        save_pcd(path, pts, cols, nrm)
+        return len(pts)

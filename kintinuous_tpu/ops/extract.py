@@ -57,13 +57,16 @@ def extract_points(
         # (sz+1, sy+1, sx+1) sub-box (arrays are [z,y,x])
         return arr[pz[:, None, None], py[None, :, None], px[None, None, :]]
 
+    from kintinuous_tpu.ops.tsdf import unpack_cw
+
     t = gather(vol.tsdf)
-    w = gather(vol.weight)
-    c = vol.color[pz[:, None, None], py[None, :, None], px[None, None, :], :]
+    w, cr, cg, cb = unpack_cw(gather(vol.cw))
 
     t0 = t[:sz, :sy, :sx]
     w0 = w[:sz, :sy, :sx]
-    c0 = c[:sz, :sy, :sx]
+    c0 = jnp.stack(
+        [cr[:sz, :sy, :sx], cg[:sz, :sy, :sx], cb[:sz, :sy, :sx]], axis=-1
+    )
 
     def crossing(t1, w1):
         # sign change across the +axis neighbour, both voxels observed

@@ -126,8 +126,10 @@ def raycast(
     iy = jnp.mod(gi[..., 1] + vol.wrap[1], R)
     iz = jnp.mod(gi[..., 2] + vol.wrap[2], R)
     flat_idx = (iz * R + iy) * R + ix
-    col = vol.color.reshape(-1, 3)[flat_idx]  # (H,W,3)
-    wgt = vol.weight.reshape(-1)[flat_idx]
+    from kintinuous_tpu.ops.tsdf import unpack_cw
+
+    wgt, cr, cg, cb = unpack_cw(vol.cw.reshape(-1)[flat_idx])
+    col = jnp.stack([cr, cg, cb], axis=-1)  # (H,W,3)
 
     nan = jnp.float32(jnp.nan)
     vmap = jnp.where(ok[None], pos_hit, nan)

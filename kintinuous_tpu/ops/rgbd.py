@@ -1,0 +1,202 @@
+"""Photometric (RGB-D) odometry terms (jnp).
+
+TPU-native equivalent of the reference's dense photometric tracking:
+  rgb_system   <- computeRgbResidual + rgbStep fused
+                  (src/frontend/cuda/reduce.cu:668-791, :423-607)
+  rgbd_icp_odometry <- RGBDOdometry::getIncrementalTransformation
+                  (src/frontend/RGBDOdometry.cpp:165-393)
+
+The reference runs a correspondence kernel producing a DataTerm image,
+downloads sigma statistics, then a second weighted reduction per
+iteration. Here both passes are fused jnp stages inside one jit: the
+residual pass computes sigma on device, the weighted system falls out
+of a masked einsum, and the fused ICP+RGB solve
+(A = A_rgb + w^2 A_icp, w=10, RGBDOdometry.cpp:316-321) stays on
+device.
+
+Residual convention: r0 = I_prev(pi(T x)) - I_curr(x); linearised
+r(xi) = r0 + a . xi with a = [p x g, g], g = image-gradient chain rule;
+the solve returns xi = A^-1 (-sum w a r0) and composes T <- exp(xi) T,
+matching the ICP update direction in ops/reduce.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kintinuous_tpu.config import CameraIntrinsics
+from kintinuous_tpu.geometry import se3
+from kintinuous_tpu.geometry.camera import bilinear_sample
+from kintinuous_tpu.ops.reduce import GNSystem, icp_step, solve_gn
+
+# squared minimum gradient magnitudes per level, finest first
+# (reference RGBDOdometry.cpp:109-113)
+MIN_GRAD2 = (12.0 ** 2, 5.0 ** 2, 3.0 ** 2, 1.0 ** 2)
+MAX_DEPTH_DELTA = 0.07  # metres (RGBDOdometry.cpp:40)
+
+
+def rgb_system(
+    cam: CameraIntrinsics,
+    T_curr_to_prev: jnp.ndarray,
+    vmap_curr: jnp.ndarray,  # (3,h,w) current camera-frame vertices
+    int_curr: jnp.ndarray,  # (h,w) current intensity
+    int_prev: jnp.ndarray,  # (h,w) previous intensity
+    gradx_prev: jnp.ndarray,  # (h,w) Sobel d/dx of int_prev
+    grady_prev: jnp.ndarray,
+    depth_prev: jnp.ndarray,  # (h,w) previous depth (metres, 0 invalid)
+    min_grad2: float,
+    max_depth_delta: float = MAX_DEPTH_DELTA,
+) -> GNSystem:
+    """One weighted photometric normal-equation build at one level."""
+    R = T_curr_to_prev[:3, :3]
+    t = T_curr_to_prev[:3, 3]
+    p = jnp.einsum("ij,jhw->ihw", R, vmap_curr) + t[:, None, None]
+    px, py, pz = p[0], p[1], p[2]
+    zs = jnp.maximum(pz, 1e-6)
+    u = px / zs * cam.fx + cam.cx
+    v = py / zs * cam.fy + cam.cy
+    H, W = int_prev.shape
+    in_img = (pz > 0) & (u >= 1) & (u <= W - 2) & (v >= 1) & (v <= H - 2)
+    uv = jnp.stack([u, v], axis=-1)
+    uv = jnp.where(in_img[..., None], uv, 1.0)
+
+    i_prev = bilinear_sample(int_prev, uv)
+    gx = bilinear_sample(gradx_prev, uv)
+    gy = bilinear_sample(grady_prev, uv)
+    d_prev = bilinear_sample(depth_prev, uv)
+
+    finite = jnp.isfinite(vmap_curr).all(axis=0)
+    mask = (
+        in_img
+        & finite
+        & (d_prev > 0)
+        & (jnp.abs(d_prev - pz) < max_depth_delta)  # occlusion gate (:754-770)
+        & (gx * gx + gy * gy > min_grad2)  # texture gate (:109-113)
+    )
+    diff = i_prev - int_curr
+
+    # sigma pass (reference computeRgbResidual statistics, :668-791)
+    m = mask.astype(jnp.float32)
+    cnt = jnp.maximum(m.sum(), 1.0)
+    sigma = jnp.sqrt(jnp.sum(jnp.where(mask, diff * diff, 0.0)) / cnt)
+    w = jnp.where(mask, 1.0 / (sigma + jnp.abs(diff) + 1e-3), 0.0)
+
+    # chain rule g = dI/dp
+    g0 = gx * cam.fx / zs
+    g1 = gy * cam.fy / zs
+    g2 = -(g0 * px + g1 * py) / zs
+    pxg = jnp.stack(
+        [
+            py * g2 - pz * g1,
+            pz * g0 - px * g2,
+            px * g1 - py * g0,
+        ],
+        axis=0,
+    )
+    a = jnp.concatenate([pxg, jnp.stack([g0, g1, g2], axis=0)], axis=0)  # (6,h,w)
+    a = jnp.where(mask[None], a, 0.0).reshape(6, -1)
+    wr = jnp.where(mask, -w * diff, 0.0).reshape(-1)
+    wsqrt = jnp.sqrt(w).reshape(-1)
+    aw = a * wsqrt[None]
+    A = jnp.einsum("in,jn->ij", aw, aw)
+    b = jnp.einsum("in,n->i", a, wr)
+    return GNSystem(A=A, b=b, count=m.sum(), residual=sigma)
+
+
+class RGBDFramePyramid(NamedTuple):
+    """Per-level previous-frame photometric data carried in tracker state."""
+
+    intensity: Tuple[jnp.ndarray, ...]
+    gradx: Tuple[jnp.ndarray, ...]
+    grady: Tuple[jnp.ndarray, ...]
+    depth: Tuple[jnp.ndarray, ...]
+
+
+def build_rgbd_pyramid(intensity: jnp.ndarray, depth_m: jnp.ndarray, levels: int):
+    """Intensity + Sobel + depth pyramids (RGBDOdometry.cpp:140-187)."""
+    from kintinuous_tpu.ops import preprocess as pp
+
+    ints, gxs, gys, ds = [], [], [], []
+    i, d = intensity, depth_m
+    for l in range(levels):
+        gx, gy = pp.sobel_gradients(i)
+        ints.append(i)
+        gxs.append(gx)
+        gys.append(gy)
+        ds.append(d)
+        if l + 1 < levels:
+            i = pp.pyr_down_gauss(i)
+            d = pp.pyr_down_depth(d, sigma=0.09)
+    return RGBDFramePyramid(
+        intensity=tuple(ints), gradx=tuple(gxs), grady=tuple(gys), depth=tuple(ds)
+    )
+
+
+def rgbd_icp_odometry(
+    cam: CameraIntrinsics,
+    curr_pyr,  # MapPyramid of current frame (vmap, nmap per level)
+    curr_rgbd: RGBDFramePyramid,
+    prev_rgbd: RGBDFramePyramid,
+    pred_pyr,  # MapPyramid for ICP terms (raycast prediction) or None
+    iterations: Sequence[int],
+    icp_weight: float = 10.0,
+    dist_thresh: float = 0.10,
+    angle_thresh_deg: float = 20.0,
+    jump_reject_m: float = 0.3,
+    min_inliers: float = 30.0,
+):
+    """Fused dense RGB-D (+ optional ICP) coarse-to-fine odometry.
+
+    Returns (T_curr_to_prev, rgb_inliers, sigma). The 0.3 m jump guard
+    (RGBDOdometry.cpp:383-387) rejects divergent solutions to identity.
+    """
+    levels = len(curr_pyr)
+    sin_t = math.sin(math.radians(angle_thresh_deg))
+    T = jnp.eye(4, dtype=jnp.float32)
+    count = jnp.float32(0.0)
+    sigma = jnp.float32(0.0)
+    w2 = icp_weight * icp_weight
+    for l in range(levels - 1, -1, -1):
+        iters = int(iterations[l]) if l < len(iterations) else 0
+        if iters == 0:
+            continue
+        cam_l = cam.at_level(l)
+        vc, nc = curr_pyr[l]
+        mg2 = MIN_GRAD2[min(l, len(MIN_GRAD2) - 1)]
+
+        def body(_, carry):
+            T, _, _ = carry
+            rgb = rgb_system(
+                cam_l, T, vc,
+                curr_rgbd.intensity[l], prev_rgbd.intensity[l],
+                prev_rgbd.gradx[l], prev_rgbd.grady[l], prev_rgbd.depth[l],
+                mg2,
+            )
+            A, b = rgb.A, rgb.b
+            if pred_pyr is not None:
+                # intensity-gradient units dwarf metric ICP units by ~1e4;
+                # trace-normalise each system so icp_weight (=10, reference
+                # RGBDOdometry.cpp:316-321) sets the actual balance
+                vp, np_ = pred_pyr[l]
+                icp = icp_step(cam_l, T, vc, nc, vp, np_, dist_thresh, sin_t)
+                s_rgb = 1.0 / (jnp.trace(A) + 1e-12)
+                s_icp = 1.0 / (jnp.trace(icp.A) + 1e-12)
+                A = s_rgb * A + w2 * s_icp * icp.A
+                b = s_rgb * b + w2 * s_icp * icp.b
+            xi, ok = solve_gn(A, b)
+            ok = ok & (rgb.count >= min_inliers)
+            T_new = se3.exp_se3(xi) @ T
+            T = jnp.where(ok, T_new, T)
+            return T, rgb.count, rgb.residual
+
+        T, count, sigma = jax.lax.fori_loop(
+            0, iters, body, (T, count, sigma)
+        )
+    # tracking-failure guard: reject > jump_reject_m translations
+    jump = jnp.linalg.norm(T[:3, 3])
+    T = jnp.where(jump < jump_reject_m, T, jnp.eye(4, dtype=jnp.float32))
+    return T, count, sigma

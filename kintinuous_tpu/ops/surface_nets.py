@@ -1,0 +1,209 @@
+"""Surface-nets meshing of the TSDF volume (jnp).
+
+TPU-first replacement for the reference's mesh generation. The
+reference triangulates extracted point-cloud slices with PCL's greedy
+projection (src/backend/MeshGenerator.cpp:193-227) and an incremental
+fork (src/backend/UGP3.cpp) — both built on KD-trees and per-point
+sequential fringe advancement, which have no efficient TPU mapping.
+
+Here meshes come straight from the SDF with naive surface nets (dual
+contouring): one vertex per sign-changed cell (mean of its edge
+crossings), one quad per sign-changed interior edge, fully vectorised
+with the same mask→cumsum→scatter compaction as ops/extract.py. Output
+patches per shifted-out band stitch into the global mesh by vertex
+count offsetting, like the reference's mesh save (MeshGenerator.cpp:37-191).
+
+Grid convention: surface-net corners are voxel centres; a "cell" is the
+cube between 8 adjacent voxel centres. Cells and edges on the sub-box
+border are dropped (the shift overlap of the next slice covers them).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from kintinuous_tpu.ops.tsdf import VolumeState
+
+
+class MeshResult(NamedTuple):
+    vertices: jnp.ndarray  # (vcap,3) f32 GLOBAL metres
+    colors: jnp.ndarray  # (vcap,3) f32 RGB 0..255
+    faces: jnp.ndarray  # (fcap,3) i32 indices into vertices
+    n_vertices: jnp.ndarray  # () i32
+    n_faces: jnp.ndarray  # () i32
+
+
+def extract_mesh(
+    vol: VolumeState,
+    lo: jnp.ndarray,  # (3,) i32 [x,y,z] logical sub-box lower corner
+    size: Tuple[int, int, int],  # STATIC [x,y,z] extent in voxels
+    voxel_size: float,
+    vertex_capacity: int,
+    face_capacity: int,
+    min_weight: float = 1.0,
+) -> MeshResult:
+    R = vol.tsdf.shape[0]
+    sx, sy, sz = int(size[0]), int(size[1]), int(size[2])
+
+    def phys_idx(axis, n):
+        logical = jnp.mod(lo[axis] + jnp.arange(n, dtype=jnp.int32), R)
+        return jnp.mod(logical + vol.wrap[axis], R), logical
+
+    px, gx = phys_idx(0, sx + 1)
+    py, gy = phys_idx(1, sy + 1)
+    pz, gz = phys_idx(2, sz + 1)
+
+    from kintinuous_tpu.ops.tsdf import unpack_cw
+
+    t = vol.tsdf[pz[:, None, None], py[None, :, None], px[None, None, :]]
+    w, cr, cg, cb = unpack_cw(
+        vol.cw[pz[:, None, None], py[None, :, None], px[None, None, :]]
+    )
+    col = jnp.stack([cr, cg, cb], axis=-1)
+
+    obs = w >= min_weight
+    # corner coordinates (voxel centres) in logical units; use the
+    # *unwrapped* running coordinate lo+index so positions are continuous
+    # even when the logical range wraps mod R
+    cx = (lo[0] + jnp.arange(sx + 1, dtype=jnp.int32)).astype(jnp.float32) + 0.5
+    cy = (lo[1] + jnp.arange(sy + 1, dtype=jnp.int32)).astype(jnp.float32) + 0.5
+    cz = (lo[2] + jnp.arange(sz + 1, dtype=jnp.int32)).astype(jnp.float32) + 0.5
+
+    def edges(axis):
+        """Crossing mask + crossing position for all grid edges along axis."""
+        if axis == 0:  # x: corners (k,j,i)-(k,j,i+1)
+            t0, t1 = t[:, :, :-1], t[:, :, 1:]
+            o0, o1 = obs[:, :, :-1], obs[:, :, 1:]
+        elif axis == 1:
+            t0, t1 = t[:, :-1, :], t[:, 1:, :]
+            o0, o1 = obs[:, :-1, :], obs[:, 1:, :]
+        else:
+            t0, t1 = t[:-1, :, :], t[1:, :, :]
+            o0, o1 = obs[:-1, :, :], obs[1:, :, :]
+        cross = o0 & o1 & (((t0 > 0) & (t1 < 0)) | ((t0 < 0) & (t1 > 0)))
+        denom = t0 - t1
+        dt = jnp.clip(
+            jnp.where(jnp.abs(denom) > 1e-12, t0 / denom, 0.5), 0.0, 1.0
+        )
+        # positive direction = t0 > 0 (surface faces -axis side)
+        positive = t0 > 0
+        return cross, dt, positive
+
+    mx, dx_, sxp = edges(0)  # (sz+1, sy+1, sx)
+    my, dy_, syp = edges(1)  # (sz+1, sy, sx+1)
+    mz, dz_, szp = edges(2)  # (sz, sy+1, sx+1)
+
+    # --- per-cell vertex = mean of its 12 edge crossings -----------------
+    def cell_sum(arr, axis):
+        """Sum the 4 edges of each cell along `axis` (arr on edge grid)."""
+        if axis == 0:  # x-edges: (k..k+1, j..j+1, i)
+            return (
+                arr[:-1, :-1, :] + arr[:-1, 1:, :] + arr[1:, :-1, :] + arr[1:, 1:, :]
+            )
+        if axis == 1:
+            return (
+                arr[:-1, :, :-1] + arr[:-1, :, 1:] + arr[1:, :, :-1] + arr[1:, :, 1:]
+            )
+        return arr[:, :-1, :-1] + arr[:, :-1, 1:] + arr[:, 1:, :-1] + arr[:, 1:, 1:]
+
+    mxf = mx.astype(jnp.float32)
+    myf = my.astype(jnp.float32)
+    mzf = mz.astype(jnp.float32)
+    cnt = cell_sum(mxf, 0) + cell_sum(myf, 1) + cell_sum(mzf, 2)  # (sz,sy,sx)
+    has_vert = cnt > 0
+
+    # crossing positions per edge (x,y,z logical coords)
+    ex_x = cx[None, None, :-1] + dx_  # x-coord of x-edge crossings
+    ex_y = jnp.broadcast_to(cy[None, :, None], mx.shape)
+    ex_z = jnp.broadcast_to(cz[:, None, None], mx.shape)
+    ey_x = jnp.broadcast_to(cx[None, None, :], my.shape)
+    ey_y = cy[None, :-1, None] + dy_
+    ey_z = jnp.broadcast_to(cz[:, None, None], my.shape)
+    ez_x = jnp.broadcast_to(cx[None, None, :], mz.shape)
+    ez_y = jnp.broadcast_to(cy[None, :, None], mz.shape)
+    ez_z = cz[:-1, None, None] + dz_
+
+    def msum(coord, m, axis):
+        return cell_sum(coord * m, axis)
+
+    vx = msum(ex_x, mxf, 0) + msum(ey_x, myf, 1) + msum(ez_x, mzf, 2)
+    vy = msum(ex_y, mxf, 0) + msum(ey_y, myf, 1) + msum(ez_y, mzf, 2)
+    vz = msum(ex_z, mxf, 0) + msum(ey_z, myf, 1) + msum(ez_z, mzf, 2)
+    denom = jnp.maximum(cnt, 1.0)
+    vert_pos = jnp.stack([vx, vy, vz], axis=-1) / denom[..., None]
+    vert_global = vert_pos * voxel_size + vol.origin[None, None, None, :]
+    vert_color = col[:sz, :sy, :sx]  # colour of the cell's base voxel
+
+    # --- vertex compaction ----------------------------------------------
+    n_cells = sz * sy * sx
+    vmask = has_vert.reshape(-1)
+    vid = jnp.cumsum(vmask.astype(jnp.int32)) - 1  # running index
+    vdest = jnp.where(vmask & (vid < vertex_capacity), vid, vertex_capacity)
+    vertices = (
+        jnp.zeros((vertex_capacity, 3), jnp.float32)
+        .at[vdest]
+        .set(vert_global.reshape(n_cells, 3), mode="drop")
+    )
+    colors = (
+        jnp.zeros((vertex_capacity, 3), jnp.float32)
+        .at[vdest]
+        .set(vert_color.reshape(n_cells, 3), mode="drop")
+    )
+    n_vertices = jnp.minimum(vmask.sum(), vertex_capacity).astype(jnp.int32)
+    vid_grid = jnp.where(has_vert, vid.reshape(sz, sy, sx), -1)
+
+    # --- faces: one quad per sign-changed INTERIOR edge ------------------
+    def quads(axis):
+        """Returns (mask, positive, 4 cell-vid arrays) for interior edges."""
+        if axis == 0:
+            m = mx[1:-1, 1:-1, :]  # k in [1,sz), j in [1,sy)
+            pos = sxp[1:-1, 1:-1, :]
+            c00 = vid_grid[:-1, :-1, :]  # cell (k-1, j-1, i)
+            c01 = vid_grid[:-1, 1:, :]  # (k-1, j, i)
+            c11 = vid_grid[1:, 1:, :]  # (k, j, i)
+            c10 = vid_grid[1:, :-1, :]  # (k, j-1, i)
+        elif axis == 1:
+            m = my[1:-1, :, 1:-1]
+            pos = syp[1:-1, :, 1:-1]
+            c00 = vid_grid[:-1, :, :-1]
+            c01 = vid_grid[1:, :, :-1]  # note swapped order for winding
+            c11 = vid_grid[1:, :, 1:]
+            c10 = vid_grid[:-1, :, 1:]
+        else:
+            m = mz[:, 1:-1, 1:-1]
+            pos = szp[:, 1:-1, 1:-1]
+            c00 = vid_grid[:, :-1, :-1]
+            c01 = vid_grid[:, :-1, 1:]
+            c11 = vid_grid[:, 1:, 1:]
+            c10 = vid_grid[:, 1:, :-1]
+        ok = m & (c00 >= 0) & (c01 >= 0) & (c11 >= 0) & (c10 >= 0)
+        return ok, pos, c00, c01, c11, c10
+
+    masks, tris = [], []
+    for axis in range(3):
+        ok, pos, c00, c01, c11, c10 = quads(axis)
+        okf = ok.reshape(-1)
+        posf = pos.reshape(-1)
+        a, b, c, d = [x.reshape(-1) for x in (c00, c01, c11, c10)]
+        # winding flips with crossing direction
+        t1 = jnp.where(posf[:, None], jnp.stack([a, b, c], 1), jnp.stack([a, c, b], 1))
+        t2 = jnp.where(posf[:, None], jnp.stack([a, c, d], 1), jnp.stack([a, d, c], 1))
+        masks.append(okf)
+        masks.append(okf)
+        tris.append(t1)
+        tris.append(t2)
+    fmask = jnp.concatenate(masks)
+    ftris = jnp.concatenate(tris, axis=0)
+    fid = jnp.cumsum(fmask.astype(jnp.int32)) - 1
+    fdest = jnp.where(fmask & (fid < face_capacity), fid, face_capacity)
+    faces = (
+        jnp.zeros((face_capacity, 3), jnp.int32).at[fdest].set(ftris, mode="drop")
+    )
+    n_faces = jnp.minimum(fmask.sum(), face_capacity).astype(jnp.int32)
+
+    return MeshResult(
+        vertices=vertices, colors=colors, faces=faces,
+        n_vertices=n_vertices, n_faces=n_faces,
+    )

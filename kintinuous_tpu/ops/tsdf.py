@@ -5,18 +5,23 @@ containers (src/frontend/TSDFVolume.{h,cpp}, ColorVolume.{h,cpp}):
 
 - the volume lives as donated HBM-resident jax arrays inside the jitted
   tracking step — the role of DeviceArray2D<short> (TSDFVolume.cpp:69);
+- colour and fusion weight are packed into ONE uint32 per voxel
+  (weight<<24 | r<<16 | g<<8 | b), mirroring the reference's uchar4
+  with weight in .w (ColorVolume.cpp:58-64, tsdf_volume.cu:616-621) —
+  on TPU this is also the layout-correct choice: any volume-sized
+  array with a trailing dim of 3 gets lane-padded ~42x by the tiler;
 - `integrate` <- integrateTsdfVolume's scaleDepth+tsdf23 pair
   (tsdf_volume.cu:490-639): instead of one CUDA thread marching z per
   (x,y) column, we sweep physical z-chunks with fully vectorised
-  projection and a gather from the (VMEM-resident) depth image — the
-  TPU-friendly direction for this access pattern;
+  COMPONENT-WISE projection (no (...,3) temporaries) and a gather from
+  the depth image — the TPU-friendly direction for this access pattern;
 - `clear_band` <- the 12 clearVolume{X,Y,Z}{,Back}{,c} kernels
-  (tsdf_volume.cu:117-448) collapse into ONE masked elementwise pass
-  (sequential HBM traffic is nearly free on TPU; no special cases);
+  (tsdf_volume.cu:117-448) collapse into ONE masked elementwise pass;
 - cyclical addressing: physical = (logical + wrap) mod R, the same
   rolling-buffer trick as tsdf_volume.cu:612-615.
 
-Conventions (used across ops/raycast.py and ops/extract.py too):
+Conventions (shared with ops/raycast.py, ops/extract.py,
+ops/surface_nets.py):
 - arrays are indexed [z, y, x]; coordinate/wrap vectors are [x, y, z];
 - logical voxel g in [0,R)^3 has local-world center (g + 0.5) * voxel;
   the volume box is [0, volume_size]^3 in "local" metres;
@@ -37,18 +42,36 @@ class VolumeState(NamedTuple):
     """The rolling TSDF + colour volume (a jit-donatable pytree)."""
 
     tsdf: jnp.ndarray  # (R,R,R) f32 [z,y,x], truncated signed distance in [-1,1]
-    weight: jnp.ndarray  # (R,R,R) f32 fusion weight (0 = unseen)
-    color: jnp.ndarray  # (R,R,R,3) f32 RGB in [0,255]
+    cw: jnp.ndarray  # (R,R,R) u32 packed weight<<24 | r<<16 | g<<8 | b
     wrap: jnp.ndarray  # (3,) i32 [x,y,z] cyclical offset: phys = (logical+wrap) % R
     origin: jnp.ndarray  # (3,) f32 [x,y,z] global metres of local (0,0,0) corner
+
+
+def pack_cw(weight, r, g, b):
+    """weight (0..255 float/int), colour channels (0..255) -> uint32."""
+    w = jnp.clip(weight, 0, 255).astype(jnp.uint32)
+    return (
+        (w << 24)
+        | (jnp.clip(r, 0, 255).astype(jnp.uint32) << 16)
+        | (jnp.clip(g, 0, 255).astype(jnp.uint32) << 8)
+        | jnp.clip(b, 0, 255).astype(jnp.uint32)
+    )
+
+
+def unpack_cw(cw):
+    """uint32 -> (weight, r, g, b) float32."""
+    w = (cw >> 24).astype(jnp.float32)
+    r = ((cw >> 16) & 0xFF).astype(jnp.float32)
+    g = ((cw >> 8) & 0xFF).astype(jnp.float32)
+    b = (cw & 0xFF).astype(jnp.float32)
+    return w, r, g, b
 
 
 def make_volume(resolution: int) -> VolumeState:
     R = resolution
     return VolumeState(
         tsdf=jnp.zeros((R, R, R), jnp.float32),
-        weight=jnp.zeros((R, R, R), jnp.float32),
-        color=jnp.zeros((R, R, R, 3), jnp.float32),
+        cw=jnp.zeros((R, R, R), jnp.uint32),
         wrap=jnp.zeros((3,), jnp.int32),
         origin=jnp.zeros((3,), jnp.float32),
     )
@@ -96,46 +119,53 @@ def integrate(
     ray_len = scale_depth(cam, depth_m)  # (H,W)
     flat_ray = ray_len.reshape(-1)
     flat_disc = disc_mask.reshape(-1)
-    flat_rgb = rgb.reshape(-1, 3)
+    # pack the rgb frame once; single u32 gather in the sweep
+    rgb_u32 = pack_cw(
+        jnp.zeros(rgb.shape[:2]), rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    ).reshape(-1)
 
     Tinv = jnp.linalg.inv(T_cam_to_local)
     Rcl, tcl = Tinv[:3, :3], Tinv[:3, 3]
 
     wrap = vol.wrap  # [x,y,z]
-    # logical coords for full y/x rows (physical index -> logical)
-    py = jnp.arange(R, dtype=jnp.int32)
-    gx = jnp.mod(py - wrap[0], R)  # for x axis
-    gy = jnp.mod(py - wrap[1], R)
-    # local-world x/y coordinates per physical x/y index
-    wx = (gx.astype(jnp.float32) + 0.5) * voxel_size  # (R,)
-    wy = (gy.astype(jnp.float32) + 0.5) * voxel_size  # (R,)
+    p_idx = jnp.arange(R, dtype=jnp.int32)
+    gx = jnp.mod(p_idx - wrap[0], R)
+    gy = jnp.mod(p_idx - wrap[1], R)
+    wx = (gx.astype(jnp.float32) + 0.5) * voxel_size  # (R,) local x per phys x
+    wy = (gy.astype(jnp.float32) + 0.5) * voxel_size  # (R,) local y per phys y
+
+    # camera-frame coords are affine in (wx, wy, wz): precompute the
+    # separable pieces so the sweep only does broadcast adds (never
+    # materialising a (...,3) tensor)
+    cx_x = Rcl[0, 0] * wx  # (R,)
+    cy_x = Rcl[1, 0] * wx
+    cz_x = Rcl[2, 0] * wx
+    cx_y = Rcl[0, 1] * wy
+    cy_y = Rcl[1, 1] * wy
+    cz_y = Rcl[2, 1] * wy
 
     def body(ci, carry):
-        tsdf, weight, color = carry
+        tsdf, cw = carry
         z0 = ci * z_chunk
         pz = z_phys_offset + z0 + jnp.arange(z_chunk, dtype=jnp.int32)
         gz = jnp.mod(pz - wrap[2], R)
         wz = (gz.astype(jnp.float32) + 0.5) * voxel_size  # (C,)
 
-        # voxel centers in camera frame: (C, R, R, 3) built separably
-        # pos_cam = Rcl @ [wx,wy,wz] + tcl
-        px_cam = (
-            Rcl[None, None, None, :, 0] * wx[None, None, :, None]
-            + Rcl[None, None, None, :, 1] * wy[None, :, None, None]
-            + Rcl[None, None, None, :, 2] * wz[:, None, None, None]
-            + tcl[None, None, None, :]
-        )  # (C,R,R,3) with last dim camera xyz
-        x, y, z = px_cam[..., 0], px_cam[..., 1], px_cam[..., 2]
+        def bc(vx, vy, vz, t):  # (R,)x,(R,)y,(C,)z -> (C,R,R)
+            return (
+                vx[None, None, :] + vy[None, :, None] + vz[:, None, None] + t
+            )
+
+        x = bc(cx_x, cx_y, Rcl[0, 2] * wz, tcl[0])
+        y = bc(cy_x, cy_y, Rcl[1, 2] * wz, tcl[1])
+        z = bc(cz_x, cz_y, Rcl[2, 2] * wz, tcl[2])
         zs = jnp.maximum(z, 1e-6)
-        u = x / zs * cam.fx + cam.cx
-        v = y / zs * cam.fy + cam.cy
-        ui = jnp.round(u).astype(jnp.int32)
-        vi = jnp.round(v).astype(jnp.int32)
+        ui = jnp.round(x / zs * cam.fx + cam.cx).astype(jnp.int32)
+        vi = jnp.round(y / zs * cam.fy + cam.cy).astype(jnp.int32)
         in_img = (z > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
         idx = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
 
         samp_ray = flat_ray[idx]  # (C,R,R)
-        samp_disc = flat_disc[idx]
         valid = in_img & (samp_ray > 0)
 
         vox_ray = jnp.sqrt(x * x + y * y + z * z)
@@ -144,8 +174,8 @@ def integrate(
         tsdf_new = jnp.minimum(1.0, sdf / trunc_dist)
 
         t_old = jax.lax.dynamic_slice_in_dim(tsdf, z0, z_chunk, 0)
-        w_old = jax.lax.dynamic_slice_in_dim(weight, z0, z_chunk, 0)
-        c_old = jax.lax.dynamic_slice_in_dim(color, z0, z_chunk, 0)
+        cw_old = jax.lax.dynamic_slice_in_dim(cw, z0, z_chunk, 0)
+        w_old, r_old, g_old, b_old = unpack_cw(cw_old)
 
         w_upd = jnp.where(fuse, jnp.minimum(w_old + 1.0, max_weight), w_old)
         t_upd = jnp.where(
@@ -155,23 +185,23 @@ def integrate(
         )
         # colour: only near the surface and not across a depth silhouette
         # (reference tsdf23 colour path, tsdf_volume.cu:616-636)
+        samp_disc = flat_disc[idx]
         cfuse = fuse & (jnp.abs(sdf) < trunc_dist) & jnp.logical_not(samp_disc)
-        samp_rgb = flat_rgb[idx]  # (C,R,R,3)
-        c_upd = jnp.where(
-            cfuse[..., None],
-            (c_old * w_old[..., None] + samp_rgb) / jnp.maximum(w_old + 1.0, 1.0)[..., None],
-            c_old,
-        )
+        samp_rgb = rgb_u32[idx]
+        _, r_new, g_new, b_new = unpack_cw(samp_rgb)
+        inv_w = 1.0 / jnp.maximum(w_old + 1.0, 1.0)
+
+        def mix(old, new):
+            return jnp.where(cfuse, (old * w_old + new) * inv_w, old)
+
+        cw_upd = pack_cw(w_upd, mix(r_old, r_new), mix(g_old, g_new), mix(b_old, b_new))
 
         tsdf = jax.lax.dynamic_update_slice_in_dim(tsdf, t_upd, z0, 0)
-        weight = jax.lax.dynamic_update_slice_in_dim(weight, w_upd, z0, 0)
-        color = jax.lax.dynamic_update_slice_in_dim(color, c_upd, z0, 0)
-        return tsdf, weight, color
+        cw = jax.lax.dynamic_update_slice_in_dim(cw, cw_upd, z0, 0)
+        return tsdf, cw
 
-    tsdf, weight, color = jax.lax.fori_loop(
-        0, Rz // z_chunk, body, (vol.tsdf, vol.weight, vol.color)
-    )
-    return vol._replace(tsdf=tsdf, weight=weight, color=color)
+    tsdf, cw = jax.lax.fori_loop(0, Rz // z_chunk, body, (vol.tsdf, vol.cw))
+    return vol._replace(tsdf=tsdf, cw=cw)
 
 
 def clear_band(vol: VolumeState, axis: int, lo, hi) -> VolumeState:
@@ -201,8 +231,7 @@ def clear_band(vol: VolumeState, axis: int, lo, hi) -> VolumeState:
     keep = jnp.logical_not(mask)
     return vol._replace(
         tsdf=vol.tsdf * keep,
-        weight=vol.weight * keep,
-        color=vol.color * keep[..., None],
+        cw=jnp.where(keep, vol.cw, jnp.uint32(0)),
     )
 
 

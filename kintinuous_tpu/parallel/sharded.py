@@ -61,11 +61,7 @@ def state_shardings(mesh: Mesh):
     rep = NamedSharding(mesh, P())
     slab = NamedSharding(mesh, P("z"))
     return ShardedTrackerState(
-        vol=VolumeState(
-            tsdf=slab, weight=slab,
-            color=NamedSharding(mesh, P("z")),
-            wrap=rep, origin=rep,
-        ),
+        vol=VolumeState(tsdf=slab, cw=slab, wrap=rep, origin=rep),
         pose=rep, pred_vmap=rep, pred_nmap=rep, pred_pose=rep, frame=rep,
     )
 
@@ -108,7 +104,7 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
     import math
     sin_t = math.sin(math.radians(cfg.icp_angle_thresh_deg))
 
-    vol_spec = VolumeState(tsdf=P("z"), weight=P("z"), color=P("z"), wrap=P(), origin=P())
+    vol_spec = VolumeState(tsdf=P("z"), cw=P("z"), wrap=P(), origin=P())
     state_spec = ShardedTrackerState(
         vol=vol_spec, pose=P(), pred_vmap=P(), pred_nmap=P(), pred_pose=P(), frame=P()
     )
@@ -183,8 +179,7 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
             )
             vol = vol._replace(
                 tsdf=vol.tsdf * keep,
-                weight=vol.weight * keep,
-                color=vol.color * keep[..., None],
+                cw=jnp.where(keep, vol.cw, jnp.uint32(0)),
                 wrap=jnp.mod(vol.wrap + shift, R),
                 origin=vol.origin + shift.astype(jnp.float32) * vsz,
             )
@@ -203,8 +198,7 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
         # --- raycast: v1 gathers slabs (correctness baseline) ---
         full = VolumeState(
             tsdf=jax.lax.all_gather(vol.tsdf, "z", axis=0, tiled=True),
-            weight=jax.lax.all_gather(vol.weight, "z", axis=0, tiled=True),
-            color=jax.lax.all_gather(vol.color, "z", axis=0, tiled=True),
+            cw=jax.lax.all_gather(vol.cw, "z", axis=0, tiled=True),
             wrap=vol.wrap,
             origin=vol.origin,
         )

@@ -54,6 +54,7 @@ class TrackerState(NamedTuple):
     pred_nmap: jnp.ndarray  # (3,H,W)
     pred_pose: jnp.ndarray  # (4,4) pose the prediction was cast from
     frame: jnp.ndarray  # () i32
+    rgbd: Optional[object]  # RGBDFramePyramid of the previous frame, or None
 
 
 class StepOutputs(NamedTuple):
@@ -95,6 +96,8 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
     levels = cfg.pyramid_levels
     iters = cfg.icp_fast_iterations if cfg.fast_odometry else cfg.icp_iterations
 
+    use_rgbd = cfg.rgbd_odometry or cfg.icp_plus_rgbd
+
     def step(state: TrackerState, depth_mm, rgb, ext_delta):
         # --- preprocess (KintinuousTracker.cpp:465-479) ---
         filtered_mm = pp.bilateral_filter(
@@ -105,6 +108,13 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
         )
         depth_m = pp.depth_to_metres(filtered_mm, cfg.max_depth)
         curr_pyr = build_map_pyramid(cam, depth_m, levels)
+        if use_rgbd:
+            from kintinuous_tpu.ops.rgbd import build_rgbd_pyramid
+
+            intensity = pp.rgb_to_intensity(rgb)
+            curr_rgbd = build_rgbd_pyramid(intensity, depth_m, levels)
+        else:
+            curr_rgbd = None
 
         # --- odometry (KintinuousTracker.cpp:564-572) ---
         if use_odometry:
@@ -113,10 +123,23 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
             pv = jnp.einsum("ij,jhw->ihw", Rm, state.pred_vmap) + tm[:, None, None]
             pn = jnp.einsum("ij,jhw->ihw", Rm, state.pred_nmap)
             pred_pyr = pyramid_from_maps(pv, pn, levels)
-            delta, icp_count, icp_res = icp_odometry(
-                cam, curr_pyr, pred_pyr, iters,
-                cfg.icp_dist_thresh, cfg.icp_angle_thresh_deg,
-            )
+            if use_rgbd:
+                from kintinuous_tpu.ops.rgbd import rgbd_icp_odometry
+
+                delta, icp_count, icp_res = rgbd_icp_odometry(
+                    cam, curr_pyr, curr_rgbd, state.rgbd,
+                    pred_pyr if (cfg.icp_plus_rgbd and not cfg.frame_to_frame_rgbd) else None,
+                    iters,
+                    icp_weight=cfg.rgbd_icp_weight,
+                    dist_thresh=cfg.icp_dist_thresh,
+                    angle_thresh_deg=cfg.icp_angle_thresh_deg,
+                    jump_reject_m=cfg.rgbd_jump_reject,
+                )
+            else:
+                delta, icp_count, icp_res = icp_odometry(
+                    cam, curr_pyr, pred_pyr, iters,
+                    cfg.icp_dist_thresh, cfg.icp_angle_thresh_deg,
+                )
         else:
             delta = ext_delta
             icp_count = jnp.float32(0.0)
@@ -181,8 +204,7 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
             )
             vol = vol._replace(
                 tsdf=vol.tsdf * keep,
-                weight=vol.weight * keep,
-                color=vol.color * keep[..., None],
+                cw=jnp.where(keep, vol.cw, jnp.uint32(0)),
                 wrap=jnp.mod(vol.wrap + shift, R),
                 origin=vol.origin + shift.astype(jnp.float32) * vsz,
             )
@@ -211,6 +233,7 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
             pred_nmap=rc.nmap,
             pred_pose=pose,
             frame=state.frame + 1,
+            rgbd=curr_rgbd,
         )
         out = StepOutputs(
             pose_local=pose,
@@ -250,6 +273,16 @@ class Tracker:
         H, W = cam.height, cam.width
         init_pose = jnp.eye(4, dtype=jnp.float32)
         init_pose = init_pose.at[:3, 3].set(cfg.volume_size / 2.0)
+        if cfg.rgbd_odometry or cfg.icp_plus_rgbd:
+            from kintinuous_tpu.ops.rgbd import build_rgbd_pyramid
+
+            init_rgbd = build_rgbd_pyramid(
+                jnp.zeros((H, W), jnp.float32),
+                jnp.zeros((H, W), jnp.float32),
+                cfg.pyramid_levels,
+            )
+        else:
+            init_rgbd = None
         # donated state fields must not alias each other
         self.state = TrackerState(
             vol=make_volume(cfg.volume_resolution),
@@ -258,6 +291,7 @@ class Tracker:
             pred_nmap=jnp.full((3, H, W), jnp.nan, jnp.float32),
             pred_pose=init_pose + 0.0,
             frame=jnp.int32(0),
+            rgbd=init_rgbd,
         )
         self._pending: deque = deque()  # (out, timestamp_us, frame_idx)
         self.slices: List[CloudSlice] = []

@@ -57,7 +57,9 @@ def fused_sphere_volume(n_frames=3, wrap=None):
 
 def test_integrate_creates_surface():
     vol, T, depth = fused_sphere_volume()
-    w = np.array(vol.weight)
+    from kintinuous_tpu.ops.tsdf import unpack_cw
+    import jax.numpy as _jnp
+    w = np.array(unpack_cw(vol.cw)[0])
     assert w.max() == 3.0  # three fused frames
     t = np.array(vol.tsdf)
     assert (t < -0.5).sum() > 0 and (t > 0.5).sum() > 0  # inside & outside
@@ -77,7 +79,8 @@ def test_integrate_weight_cap():
     )
     for _ in range(7):
         vol = fuse(vol)
-    assert np.array(vol.weight).max() == 4.0
+    from kintinuous_tpu.ops.tsdf import unpack_cw
+    assert np.array(unpack_cw(vol.cw)[0]).max() == 4.0
 
 
 def test_raycast_roundtrip():
@@ -121,14 +124,16 @@ def test_wrap_invariance():
     # on each axis aligns the two volumes. arrays are [z,y,x].
     t1 = np.roll(np.array(vol1.tsdf), (-wrap[2], -wrap[1], -wrap[0]), axis=(0, 1, 2))
     np.testing.assert_allclose(t1, np.array(vol0.tsdf), atol=1e-6)
-    w1 = np.roll(np.array(vol1.weight), (-wrap[2], -wrap[1], -wrap[0]), axis=(0, 1, 2))
-    np.testing.assert_allclose(w1, np.array(vol0.weight), atol=1e-6)
+    w1 = np.roll(np.array(vol1.cw), (-wrap[2], -wrap[1], -wrap[0]), axis=(0, 1, 2))
+    np.testing.assert_array_equal(w1, np.array(vol0.cw))
 
 
 def test_clear_band_simple_and_wrapped():
     R = 16
     vol = tsdf_ops.make_volume(R)
-    vol = vol._replace(tsdf=jnp.ones((R, R, R)), weight=jnp.ones((R, R, R)))
+    from kintinuous_tpu.ops.tsdf import pack_cw
+    ones_cw = pack_cw(jnp.ones((R, R, R)), jnp.zeros((R, R, R)), jnp.zeros((R, R, R)), jnp.zeros((R, R, R)))
+    vol = vol._replace(tsdf=jnp.ones((R, R, R)), cw=ones_cw)
     out = tsdf_ops.clear_band(vol, axis=0, lo=2, hi=5)  # x in [2,5)
     t = np.array(out.tsdf)
     assert (t[:, :, 2:5] == 0).all() and (t[:, :, :2] == 1).all() and (t[:, :, 5:] == 1).all()
