@@ -1,0 +1,81 @@
+import numpy as np
+import jax.numpy as jnp
+
+from kintinuous_tpu.backend.pose_graph import PoseGraph
+from kintinuous_tpu.geometry import se3
+
+
+def rand_twist(rng, r=0.05, t=0.1):
+    return np.concatenate([rng.normal(0, r, 3), rng.normal(0, t, 3)])
+
+
+def exp(xi):
+    return np.asarray(se3.exp_se3(jnp.asarray(xi, dtype=jnp.float32)), np.float64)
+
+
+def make_chain(n, rng, drift=0.0):
+    """Ground-truth chain + noisy odometry measurements."""
+    gt = [np.eye(4)]
+    odo = []
+    for k in range(n - 1):
+        step = exp([0.02, 0.0, 0.03, 0.1, 0.0, 0.05])
+        gt.append(gt[-1] @ step)
+        noise = exp(rand_twist(rng, drift, drift))
+        odo.append(step @ noise)
+    return gt, odo
+
+
+def test_chain_without_noise_is_exact():
+    rng = np.random.default_rng(0)
+    gt, odo = make_chain(20, rng, drift=0.0)
+    g = PoseGraph()
+    for k, Z in enumerate(odo):
+        g.add_odometry(k, k + 1, Z)
+    chi2 = g.optimise(iters=3)
+    assert chi2 < 1e-8
+    for k in range(20):
+        np.testing.assert_allclose(g.get_pose(k), gt[k], atol=1e-4)
+
+
+def test_loop_closure_corrects_drift():
+    rng = np.random.default_rng(1)
+    n = 40
+    gt, odo = make_chain(n, rng, drift=0.004)
+    g = PoseGraph()
+    for k, Z in enumerate(odo):
+        g.add_odometry(k, k + 1, Z)
+    g.optimise(iters=2)
+    drift_before = np.linalg.norm(
+        g.get_pose(n - 1)[:3, 3] - gt[n - 1][:3, 3]
+    )
+    # strong loop factor pinning last node to its true relative pose
+    Z_loop = np.linalg.inv(gt[0]) @ gt[n - 1]
+    g.loop_weight = 1e5
+    g.add_loop(0, n - 1, Z_loop)
+    chi2 = g.optimise(iters=10)
+    drift_after = np.linalg.norm(g.get_pose(n - 1)[:3, 3] - gt[n - 1][:3, 3])
+    assert drift_after < 0.01
+    assert drift_after < drift_before * 0.5 + 1e-6
+    assert g.n_loops == 1
+
+
+def test_bad_loop_raises_chi2_and_removal_restores():
+    rng = np.random.default_rng(2)
+    n = 25
+    gt, odo = make_chain(n, rng, drift=0.0)
+    g = PoseGraph()
+    for k, Z in enumerate(odo):
+        g.add_odometry(k, k + 1, Z)
+    chi_clean = g.optimise(iters=5)
+    # inject a wildly wrong loop (reference rejects on residual,
+    # Deformation.cpp:256,336-343 then removes the factor)
+    bad = np.eye(4)
+    bad[:3, 3] = [3.0, -2.0, 1.0]
+    fid = g.add_loop(0, n - 1, bad)
+    chi_bad = g.optimise(iters=10)
+    assert chi_bad > chi_clean + 1e-3
+    g.remove_factor(fid)
+    chi_rm = g.optimise(iters=10)
+    assert chi_rm < 1e-6
+    for k in range(n):
+        np.testing.assert_allclose(g.get_pose(k), gt[k], atol=1e-3)
