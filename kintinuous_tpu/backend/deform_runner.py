@@ -1,0 +1,167 @@
+"""Map-correction orchestration: pose graph + deformation graph.
+
+Rebuild of the reference's Deformation thread (src/backend/Deformation.cpp):
+  add_frame_pose  <- addCameraCamera (:130-171): dense poses become
+                     pose-graph odometry factors (optionally subsampled
+                     by dense_sampling_rate when fast_loops)
+  add_slice       <- addVertices (:348-457): processed slice points join
+                     the global pool with per-vertex timestamps; the
+                     deformation graph grows from the pose trajectory
+                     once nodes are >= sample_dist apart (:466-521)
+  add_loop        <- addCameraLoop (:173-346): add the loop factor,
+                     optimise the pose graph, REJECT if the residual
+                     exceeds isam_thresh (remove factor, :256,336-343);
+                     else constrain the deformation graph with the new
+                     node positions + reprojected loop inliers, optimise
+                     it, and apply to the whole pool (:258-335)
+  pose rewriting  <- slice poses refreshed from the optimised graph
+                     (:556-580)
+  saves           <- saveCloud (:67-101)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from kintinuous_tpu.backend.deformation import DeformationGraph
+from kintinuous_tpu.backend.place_recognition import LoopConstraint
+from kintinuous_tpu.backend.pose_graph import PoseGraph
+from kintinuous_tpu.config import KintinuousConfig
+from kintinuous_tpu.io.pcd import save_pcd
+from kintinuous_tpu.tracking.tracker import CloudSlice
+
+
+class MapDeformation:
+    def __init__(self, cfg: KintinuousConfig):
+        self.cfg = cfg
+        self.graph = PoseGraph()
+        self.dgraph = DeformationGraph(
+            k=cfg.deformation_k, sample_dist=cfg.dense_sampling_rate
+        )
+        self.slices: List[CloudSlice] = []
+        self._last_time: Optional[int] = None
+        self._last_pose: Optional[np.ndarray] = None
+        self._last_node_pos: Optional[np.ndarray] = None
+        self.n_loops_accepted = 0
+        self.n_loops_rejected = 0
+
+    # ------------------------------------------------------------ poses
+    def add_frame_pose(self, time_us: int, T_global: np.ndarray) -> None:
+        T_global = np.asarray(T_global, np.float64)
+        if self._last_time is None:
+            self.graph.add_node(time_us, T_global)
+        else:
+            subsample = self.cfg.fast_loops
+            if subsample and self._last_node_pos is not None:
+                if (
+                    np.linalg.norm(T_global[:3, 3] - self._last_node_pos)
+                    < self.cfg.dense_sampling_rate
+                ):
+                    return
+            Z = np.linalg.inv(self._last_pose) @ T_global
+            self.graph.add_odometry(self._last_time, time_us, Z)
+        self._last_time = time_us
+        self._last_pose = T_global
+        self._last_node_pos = T_global[:3, 3]
+        # grow the deformation graph along the trajectory (:466-521)
+        self.dgraph.append_poses([time_us], [T_global[:3, 3]])
+
+    # ----------------------------------------------------------- slices
+    def add_slice(self, sl: CloudSlice) -> None:
+        assert sl.processed is not None, "run SliceProcessor first"
+        self.slices.append(sl)
+
+    # ------------------------------------------------------------ loops
+    def add_loop(self, c: LoopConstraint) -> bool:
+        """Returns True if the loop was accepted and the map deformed."""
+        i = self._nearest_node(c.time1)
+        j = self._nearest_node(c.time2)
+        if i is None or j is None or i == j:
+            return False
+        t1, t2 = self.graph.times[i], self.graph.times[j]
+        # snapshot positions for rollback + constraints
+        old_positions = {k: self.graph.poses[k].copy() for k in range(len(self.graph.poses))}
+        fid = self.graph.add_loop(t1, t2, c.T_1_2)
+        residual = self.graph.optimise(iters=10)
+        if residual > self.cfg.isam_thresh:  # (:256,336-343)
+            self.graph.remove_factor(fid)
+            for k, P in old_positions.items():
+                self.graph.poses[k] = P
+            self.graph.optimise(iters=5)
+            self.n_loops_rejected += 1
+            return False
+
+        # deformation constraints (:266-315): old node pos -> new node pos
+        src, dst, vt = [], [], []
+        for k in range(len(self.graph.poses)):
+            src.append(old_positions[k][:3, 3])
+            dst.append(self.graph.poses[k][:3, 3])
+            vt.append(self.graph.times[k])
+        # reprojected loop inliers: where kf2 saw them (old pose) should
+        # land where kf1's (optimised) pose puts them
+        T1_new = self.graph.poses[i]
+        T2_old = old_positions[j]
+        q = (np.asarray(c.inliers1) @ T1_new[:3, :3].T) + T1_new[:3, 3]
+        p = (np.asarray(c.inliers2) @ T2_old[:3, :3].T) + T2_old[:3, 3]
+        n_in = min(len(p), 64)
+        if n_in:
+            sel = np.linspace(0, len(p) - 1, n_in).astype(int)
+            src.extend(p[sel])
+            dst.extend(q[sel])
+            vt.extend([t2] * n_in)
+        src = np.asarray(src, np.float64)
+        dst = np.asarray(dst, np.float64)
+        vt = np.asarray(vt)
+
+        if self.dgraph.n_nodes >= 4:
+            b = self.dgraph.bind(src, vt)
+            self.dgraph.optimise(src, dst, b, iters=10)
+            self._apply_to_slices()
+        self._rewrite_slice_poses()
+        self.n_loops_accepted += 1
+        return True
+
+    def _nearest_node(self, time_us: int) -> Optional[int]:
+        if not self.graph.times:
+            return None
+        times = np.asarray(self.graph.times)
+        return int(np.argmin(np.abs(times - time_us)))
+
+    # -------------------------------------------------------- map apply
+    def _apply_to_slices(self) -> None:
+        """applyGraphToVertices over the whole pool (:318; 8-thread loop
+        becomes one batched einsum per slice)."""
+        for sl in self.slices:
+            pts = sl.processed["points"]
+            if len(pts) == 0:
+                continue
+            vt = np.full(len(pts), sl.timestamp_us)
+            b = self.dgraph.bind(pts.astype(np.float64), vt)
+            sl.processed["points"] = self.dgraph.apply(pts, b).astype(np.float32)
+
+    def _rewrite_slice_poses(self) -> None:
+        """(:556-580) slice poses refreshed from the optimised graph."""
+        for sl in self.slices:
+            k = self._nearest_node(sl.timestamp_us)
+            if k is not None:
+                sl.pose = self.graph.poses[k].copy()
+
+    # ------------------------------------------------------------ saves
+    def optimised_trajectory(self):
+        ts = np.asarray(self.graph.times)
+        order = np.argsort(ts)
+        return ts[order], [self.graph.poses[k] for k in order]
+
+    def save_cloud(self, path: str) -> int:
+        parts = [s.processed for s in self.slices if s.processed is not None]
+        if not parts:
+            save_pcd(path, np.zeros((0, 3), np.float32))
+            return 0
+        pts = np.concatenate([p["points"] for p in parts])
+        cols = np.concatenate([p["colors"] for p in parts])
+        nrm = np.concatenate([p["normals"] for p in parts])
+        save_pcd(path, pts, cols, nrm)
+        return len(pts)

@@ -1,0 +1,131 @@
+"""Command-line interface.
+
+Flag-for-flag compatible with the reference CLI where meaningful
+(src/utils/ConfigArgs.h:36-74, README.md:132-161):
+
+    -l  <log.klg>      RawLogReader input
+    -p  <traj>         ground-truth trajectory replay
+    -v  <vocab.npy>    BoW vocabulary file
+    -c  <calib>        calibration: "fx fy cx cy [w h]" text file
+    -s  <m>            volume size (default 6)
+    -vs <voxels>       shift threshold (default 14)
+    -n  <frames>       frame limit
+    -t  <m>            truncation distance
+    -cu <n>            extracted-point weight cull (default 8)
+    -f                 frame rate limiter (30 Hz throttle)
+    -sm                static mode (no shifting)
+    -m                 mesh output
+    -od                online deformation (loop closure)
+    -r                 RGB-D odometry
+    -ri                fused ICP + RGB-D odometry
+    -ftf               frame-to-frame RGB-D
+    -fo                fast odometry
+    -fl                fast loops (pose subsampling)
+    -dc                dynamic cube positioning
+    -o  <basename>     output basename (default "output")
+
+Usage: python -m kintinuous_tpu.cli -l seq.klg -m -od -o mymap
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from kintinuous_tpu.config import CameraIntrinsics, KintinuousConfig
+
+
+def load_calibration(path: str, width=640, height=480) -> CameraIntrinsics:
+    """Parses the reference's text calibration: `fx fy cx cy [w h]`
+    (MainController::loadCalibration, MainController.cpp:184-231)."""
+    with open(path) as f:
+        vals = f.read().replace(",", " ").split()
+    vals = [float(v) for v in vals]
+    if len(vals) >= 6:
+        width, height = int(vals[4]), int(vals[5])
+    return CameraIntrinsics(
+        fx=vals[0], fy=vals[1], cx=vals[2], cy=vals[3], width=width, height=height
+    )
+
+
+def build_config(argv) -> KintinuousConfig:
+    p = argparse.ArgumentParser(
+        prog="kintinuous_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("-l", dest="log_file", required=True)
+    p.add_argument("-p", dest="trajectory_file")
+    p.add_argument("-v", dest="vocab_file")
+    p.add_argument("-c", dest="calibration")
+    p.add_argument("-s", dest="volume_size", type=float, default=6.0)
+    p.add_argument("-vs", dest="voxel_shift", type=int, default=14)
+    p.add_argument("-n", dest="total_num_frames", type=int, default=-1)
+    p.add_argument("-t", dest="trunc_dist", type=float, default=0.03)
+    p.add_argument("-cu", dest="weight_cull", type=int, default=8)
+    p.add_argument("-f", dest="frame_limit", action="store_true")
+    p.add_argument("-sm", dest="static_mode", action="store_true")
+    p.add_argument("-m", dest="mesh", action="store_true")
+    p.add_argument("-od", dest="online_deformation", action="store_true")
+    p.add_argument("-r", dest="rgbd", action="store_true")
+    p.add_argument("-ri", dest="rgbd_icp", action="store_true")
+    p.add_argument("-ftf", dest="ftf", action="store_true")
+    p.add_argument("-fo", dest="fast_odometry", action="store_true")
+    p.add_argument("-fl", dest="fast_loops", action="store_true")
+    p.add_argument("-dc", dest="dynamic_cube", action="store_true")
+    p.add_argument("-o", dest="save_file", default="output")
+    p.add_argument("--resolution", type=int, default=512)
+    a = p.parse_args(argv)
+
+    cam = load_calibration(a.calibration) if a.calibration else CameraIntrinsics()
+    return KintinuousConfig(
+        log_file=a.log_file,
+        trajectory_file=a.trajectory_file,
+        vocab_file=a.vocab_file,
+        camera=cam,
+        volume_size=a.volume_size,
+        volume_resolution=a.resolution,
+        voxel_shift=a.voxel_shift,
+        total_num_frames=a.total_num_frames,
+        trunc_dist=a.trunc_dist,
+        weight_cull=a.weight_cull,
+        frame_rate_limit=30.0 if a.frame_limit else None,
+        static_mode=a.static_mode,
+        mesh=a.mesh,
+        online_deformation=a.online_deformation,
+        rgbd_odometry=a.rgbd,
+        icp_plus_rgbd=a.rgbd_icp,
+        frame_to_frame_rgbd=a.ftf,
+        fast_odometry=a.fast_odometry,
+        fast_loops=a.fast_loops,
+        dynamic_cube=a.dynamic_cube,
+        save_file=a.save_file,
+    )
+
+
+def main(argv=None):
+    cfg = build_config(argv if argv is not None else sys.argv[1:])
+    from kintinuous_tpu.runtime.engine import SlamEngine
+
+    engine = SlamEngine(cfg)
+
+    def progress(done, total):
+        if done % 30 == 0 or done == total:
+            print(
+                f"\rframe {done}/{total}  {engine.fps:.1f} fps", end="", flush=True
+            )
+
+    engine.run(progress=progress)
+    print()
+    outputs = engine.save()
+    for kind, path in outputs.items():
+        print(f"saved {kind}: {path}")
+    stats = engine.sw.stats()
+    for name in ("processFrame", "SliceProcessor", "PlaceRecognition", "Deformation"):
+        if name in stats:
+            s = stats[name]
+            print(f"{name}: mean {s['mean_ms']:.1f} ms over {s['count']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -128,6 +128,8 @@ class KintinuousConfig:
     online_deformation: bool = False
     weight_cull: int = 8  # (ConfigArgs.h:117)
     place_rec_motion_thresh: float = 0.15  # keyframe gate (KintinuousTracker.cpp:76)
+    pr_recent_window: int = 8  # skip N most recent keyframes in loop queries
+    pr_nss_alpha: float = 0.3  # normalised-similarity accept gate (DBowInterfaceSurf.cpp:36-40)
     loop_throttle_s: float = 30.0  # (PlaceRecognition.cpp:118-123)
     loop_min_matches: int = 40  # (PlaceRecognition.cpp:152)
     inlier_ratio: float = 0.35  # (PlaceRecognition.cpp:179)

@@ -1,0 +1,253 @@
+"""The free-running threaded SLAM engine.
+
+Rebuild of MainController + the ThreadObject runtime
+(src/MainController.cpp:66-160, src/utils/ThreadObject.h:47-92,
+ThreadDataPack.h): one worker thread per backend component, wired by
+queues instead of a mutexed global data pack:
+
+    tracker worker      <- TrackerInterface (log -> Tracker; throttle)
+    slice worker        <- CloudSliceProcessor (cull/downsample/normals)
+    place-rec worker    <- PlaceRecognition (keyframes -> loop constraints)
+    deformation worker  <- Deformation (poses+slices+loops -> corrected map)
+
+Component set is conditional on config exactly like MainController
+(mesh :113-121, deformation+PR :123-135). Finalisation mirrors the
+reference's *Finished-flag drain: the tracker signals end-of-log, each
+stage drains its queue then sets its finished event
+(CloudSliceProcessor.cpp:170-175 etc.).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from kintinuous_tpu.backend.deform_runner import MapDeformation
+from kintinuous_tpu.backend.place_recognition import PlaceRecognition
+from kintinuous_tpu.backend.slice_proc import SliceProcessor
+from kintinuous_tpu.config import KintinuousConfig
+from kintinuous_tpu.geometry import se3
+from kintinuous_tpu.io.klg import KlgLogReader
+from kintinuous_tpu.io.tum import TrajectoryWriter, load_trajectory, save_trajectory
+from kintinuous_tpu.runtime.stopwatch import Stopwatch
+from kintinuous_tpu.tracking.odometry import GroundTruthOdometry
+from kintinuous_tpu.tracking.tracker import CloudSlice, Tracker
+
+import jax.numpy as jnp
+
+_SENTINEL = object()
+
+
+class Worker(threading.Thread):
+    """ThreadObject equivalent: loops process() until it returns False
+    or halt is set; pulses the stopwatch each lap (ThreadObject.h:72-86)."""
+
+    def __init__(self, name: str, process):
+        super().__init__(name=name, daemon=True)
+        self._process = process
+        self.halt = threading.Event()
+        self.finished = threading.Event()
+        self.error: Optional[BaseException] = None
+
+    def run(self):
+        sw = Stopwatch.get()
+        try:
+            while not self.halt.is_set():
+                sw.pulse(self.name)
+                if not self._process():
+                    break
+        except BaseException as e:  # surface backend crashes to the host
+            self.error = e
+        finally:
+            self.finished.set()
+
+
+class SlamEngine:
+    """Owns all components + threads for one SLAM run."""
+
+    def __init__(self, cfg: KintinuousConfig):
+        self.cfg = cfg
+        self.sw = Stopwatch.get()
+        self.sw.port = cfg.telemetry_port
+        self._build()
+
+    def _build(self):
+        cfg = self.cfg
+        self.slice_q: "queue.Queue" = queue.Queue()
+        self.kf_q: "queue.Queue" = queue.Queue(maxsize=16)
+        self.slice_proc = SliceProcessor(cfg)
+        self.deformation = MapDeformation(cfg) if cfg.online_deformation else None
+        self.place_rec = (
+            PlaceRecognition(cfg) if cfg.online_deformation else None
+        )
+        self.tracker = Tracker(cfg, slice_callback=self.slice_q.put)
+        self.workers: List[Worker] = []
+        self._end_of_log = threading.Event()
+        self._last_kf_pose: Optional[np.ndarray] = None
+        self._frames_done = 0
+        self._t_start = 0.0
+
+    # ----------------------------------------------------------- stages
+    def _slice_stage(self) -> bool:
+        try:
+            sl = self.slice_q.get(timeout=0.1)
+        except queue.Empty:
+            return not (self._end_of_log.is_set() and self.slice_q.empty())
+        if sl is _SENTINEL:
+            return False
+        with self.sw.span("SliceProcessor"):
+            self.slice_proc.process(sl)
+        if self.deformation is not None:
+            self.deformation.add_slice(sl)
+        return True
+
+    def _pr_stage(self) -> bool:
+        try:
+            item = self.kf_q.get(timeout=0.1)
+        except queue.Empty:
+            return not self._end_of_log.is_set()
+        if item is _SENTINEL:
+            return False
+        rgb, depth_m, pose, ts = item
+        with self.sw.span("PlaceRecognition"):
+            c = self.place_rec.add_keyframe(rgb, depth_m, pose, ts)
+        if c is not None and self.deformation is not None:
+            with self.sw.span("Deformation"):
+                self.deformation.add_loop(c)
+        return True
+
+    # ---------------------------------------------------------- running
+    def run(self, progress=None) -> "SlamEngine":
+        """Process cfg.log_file to completion (offline mode)."""
+        cfg = self.cfg
+        assert cfg.log_file
+        self.workers = [Worker("SliceProcessor", self._slice_stage)]
+        if self.place_rec is not None:
+            self.workers.append(Worker("PlaceRecognition", self._pr_stage))
+        for w in self.workers:
+            w.start()
+
+        gt = None
+        if cfg.trajectory_file:
+            stamps, poses = load_trajectory(cfg.trajectory_file)
+            gt = GroundTruthOdometry(stamps, poses)
+
+        cam = cfg.camera
+        self._t_start = time.perf_counter()
+        pending = []  # (depth, rgb, ts) lagged for keyframe publishing
+        frame_budget = 1.0 / cfg.frame_rate_limit if cfg.frame_rate_limit else None
+        with KlgLogReader(
+            cfg.log_file, width=cam.width, height=cam.height,
+            max_frames=cfg.total_num_frames,
+        ) as reader:
+            for frame in reader:
+                t0 = time.perf_counter()
+                delta = gt.delta(frame.timestamp) if gt is not None else None
+                with self.sw.span("processFrame"):
+                    self.tracker.process_frame(
+                        frame.depth, frame.rgb, frame.timestamp, ext_delta=delta
+                    )
+                self._frames_done += 1
+                pending.append((frame.depth, frame.rgb, frame.timestamp))
+                self._publish(pending)
+                if progress:
+                    progress(self._frames_done, reader.total_num_frames)
+                if frame_budget:
+                    spare = frame_budget - (time.perf_counter() - t0)
+                    if spare > 0:
+                        time.sleep(spare)
+        self.tracker.flush()
+        self._publish(pending)
+        self.tracker.finalise()
+        self._end_of_log.set()
+        self.slice_q.put(_SENTINEL)
+        if self.place_rec is not None:
+            self.kf_q.put(_SENTINEL)
+        for w in self.workers:
+            w.finished.wait(timeout=300)
+        for w in self.workers:
+            if w.error is not None:
+                raise w.error
+        return self
+
+    def _publish(self, pending):
+        """Pair lagged frames with their now-available poses; gate PR
+        keyframes on motion >= 0.15 (KintinuousTracker.cpp:76,605-624)."""
+        if self.place_rec is None:
+            pending.clear()
+            return
+        poses = self.tracker.poses
+        while pending and len(poses) >= self._frames_done - len(pending) + 1:
+            idx = self._frames_done - len(pending)
+            if idx >= len(poses):
+                break
+            depth, rgb, ts = pending.pop(0)
+            pose = poses[idx]
+            if self._last_kf_pose is None:
+                take = True
+            else:
+                d = np.linalg.inv(self._last_kf_pose) @ pose
+                rnorm = np.linalg.norm(
+                    np.asarray(se3.log_se3(jnp.asarray(d, dtype=jnp.float32)))[:3]
+                )
+                tnorm = np.linalg.norm(d[:3, 3])
+                take = (rnorm + tnorm) / 2.0 >= self.cfg.place_rec_motion_thresh
+            if take and rgb is not None:
+                self._last_kf_pose = pose
+                depth_m = depth.astype(np.float32) / 1000.0
+                try:
+                    self.kf_q.put_nowait((rgb, depth_m, pose, ts))
+                except queue.Full:  # PR lags: drop keyframes, not frames
+                    pass
+            if self.deformation is not None:
+                self.deformation.add_frame_pose(ts, pose)
+
+    # ------------------------------------------------------------ saves
+    def save(self, basename: Optional[str] = None) -> dict:
+        """Save map + trajectory (MainController::save, :238-265)."""
+        base = basename or self.cfg.save_file
+        out = {}
+        if self.deformation is not None and self.deformation.n_loops_accepted:
+            out["cloud"] = f"{base}_opt.pcd"
+            self.deformation.save_cloud(out["cloud"])
+            ts, poses = self.deformation.optimised_trajectory()
+            out["poses"] = f"{base}.poses"
+            save_trajectory(out["poses"], [t / 1e6 for t in ts], poses)
+        else:
+            out["cloud"] = f"{base}.pcd"
+            self.slice_proc.save(out["cloud"])
+            out["poses"] = f"{base}.poses"
+            save_trajectory(
+                out["poses"],
+                [t / 1e6 for t in self.tracker.stamps_us],
+                self.tracker.poses,
+            )
+        if self.cfg.mesh:
+            from kintinuous_tpu.backend.meshing import save_volume_mesh
+
+            out["mesh"] = f"{base}.ply"
+            save_volume_mesh(out["mesh"], self.tracker, self.cfg)
+        return out
+
+    def reset(self):
+        """Full system reset (MainController::reset, :267-319)."""
+        self._end_of_log.set()
+        self.slice_q.put(_SENTINEL)
+        if self.place_rec is not None:
+            self.kf_q.put(_SENTINEL)
+        for w in self.workers:
+            w.halt.set()
+        for w in self.workers:
+            w.finished.wait(timeout=30)
+        self.sw.reset()
+        self._build()
+
+    @property
+    def fps(self) -> float:
+        el = time.perf_counter() - self._t_start
+        return self._frames_done / el if el > 0 else 0.0

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+
+from kintinuous_tpu.config import CameraIntrinsics, tiny_test_config
+from kintinuous_tpu.eval.ate import absolute_trajectory_error
+from kintinuous_tpu.io.ply import load_ply
+from kintinuous_tpu.io.pcd import load_pcd
+from kintinuous_tpu.io.synth import generate_klg, orbit_trajectory
+from kintinuous_tpu.io.tum import load_trajectory
+from kintinuous_tpu.runtime.engine import SlamEngine
+from kintinuous_tpu.runtime.stopwatch import Stopwatch
+
+CAM = CameraIntrinsics(fx=70.0, fy=70.0, cx=40.0, cy=30.0, width=80, height=60)
+
+
+@pytest.fixture(scope="module")
+def seq(tmp_path_factory):
+    d = tmp_path_factory.mktemp("seq")
+    path = str(d / "orbit.klg")
+    gt = str(d / "orbit.gt")
+    poses = orbit_trajectory(12, radius=0.12, angle_deg=6.0)
+    generate_klg(path, CAM, poses, gt_path=gt)
+    return path, gt, poses
+
+
+def test_engine_offline_run_and_save(seq, tmp_path):
+    path, gt, poses = seq
+    cfg = tiny_test_config(
+        camera=CAM, log_file=path, static_mode=True, mesh=True,
+        save_file=str(tmp_path / "out"),
+    )
+    engine = SlamEngine(cfg).run()
+    outs = engine.save()
+    stamps, gt_poses = load_trajectory(gt)
+    est_s, est_p = load_trajectory(outs["poses"])
+    ate, n = absolute_trajectory_error(stamps, gt_poses, est_s, est_p)
+    assert n == 12
+    assert ate < 0.03
+    cloud = load_pcd(outs["cloud"])
+    assert len(cloud["points"]) > 100
+    mesh = load_ply(outs["mesh"])
+    assert len(mesh["vertices"]) > 100
+    assert len(mesh["faces"]) > 100
+    stats = engine.sw.stats()
+    assert stats["processFrame"]["count"] == 12
+    assert stats["SliceProcessor"]["count"] >= 1
+
+
+def test_engine_cli(seq, tmp_path):
+    path, gt, poses = seq
+    from kintinuous_tpu import cli
+
+    calib = tmp_path / "calib.txt"
+    calib.write_text("70 70 40 30 80 60\n")
+    rc = cli.main(
+        [
+            "-l", path, "-c", str(calib), "-sm", "-n", "6",
+            "-s", "3.0", "--resolution", "64",
+            "-o", str(tmp_path / "cliout"),
+        ]
+    )
+    assert rc == 0
+    est_s, est_p = load_trajectory(str(tmp_path / "cliout.poses"))
+    assert len(est_s) == 6
+
+
+def test_checkpoint_roundtrip(seq, tmp_path):
+    from kintinuous_tpu.io.klg import KlgLogReader
+    from kintinuous_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+    from kintinuous_tpu.tracking.tracker import Tracker
+
+    path, gt, poses = seq
+    cfg = tiny_test_config(camera=CAM, static_mode=True)
+    with KlgLogReader(path, width=80, height=60, max_frames=8) as r:
+        frames = list(r)
+    trackerA = Tracker(cfg)
+    for f in frames[:4]:
+        trackerA.process_frame(f.depth, f.rgb, f.timestamp)
+    trackerA.flush()
+    ck = str(tmp_path / "ck.npz")
+    save_checkpoint(ck, trackerA)
+    # continue original
+    for f in frames[4:]:
+        trackerA.process_frame(f.depth, f.rgb, f.timestamp)
+    trackerA.flush()
+    # resume into a fresh tracker and continue identically
+    trackerB = load_checkpoint(ck, Tracker(cfg))
+    for f in frames[4:]:
+        trackerB.process_frame(f.depth, f.rgb, f.timestamp)
+    trackerB.flush()
+    np.testing.assert_allclose(trackerB.poses[-1], trackerA.poses[-1], atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(trackerB.state.vol.cw), np.asarray(trackerA.state.vol.cw)
+    )
+
+
+def test_stopwatch_udp_and_stats():
+    import json
+    import socket
+
+    sw = Stopwatch.get()
+    sw.reset()
+    sw.send_interval_s = 0.0
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(2.0)
+    sw.port = sock.getsockname()[1]
+    with sw.span("unit_test_span"):
+        pass
+    data, _ = sock.recvfrom(65536)
+    payload = json.loads(data.decode())
+    assert "unit_test_span" in payload["timings"]
+    assert sw.stats()["unit_test_span"]["count"] == 1
+    sock.close()
