@@ -89,6 +89,11 @@ class KintinuousConfig:
     trunc_dist: float = 0.03  # metres; clamped up to 2.1*voxel below
     max_weight: int = 128  # fusion weight cap (tsdf_volume.cu:486)
 
+    # --- fast path (TPU production mode) ---
+    # block-classified sparse integration + warm-started half-res raycast
+    fast_mode: bool = False
+    band_cap: int = 12288  # max band blocks per frame in fast integrate
+
     # --- shifting ---
     static_mode: bool = False
     voxel_shift: int = 14  # voxels (ConfigArgs.h:117, clamp :162-169)
@@ -150,6 +155,10 @@ class KintinuousConfig:
         object.__setattr__(
             self, "trunc_dist", max(self.trunc_dist, 2.1 * self.voxel_size)
         )
+        if self.fast_mode:
+            # blocked layout needs wrap/shift in whole 8-voxel blocks
+            vs = ((self.voxel_shift + 7) // 8) * 8
+            object.__setattr__(self, "voxel_shift", min(16, max(8, vs)))
 
     @property
     def voxel_size(self) -> float:

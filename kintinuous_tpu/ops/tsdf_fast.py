@@ -1,0 +1,323 @@
+"""Fast TSDF integration: block classification + sparse band updates.
+
+The dense sweep (ops/tsdf.integrate) samples the depth image once per
+voxel; on TPU arbitrary gathers run at ~7ns/element (measured), so
+134M samples/frame is ~1s — two orders off the 30 Hz budget. This
+module restores the budget with an algorithmic split the reference
+never needed on a GPU:
+
+  1. classify each 8^3 voxel block against conservative dilated
+     min/max ray-length mips of the depth frame:
+       OUT  — behind the surface or outside the frustum: no update
+       FREE — entirely in observed free space: the update is the same
+              for every voxel (tsdf -> 1), so it needs NO depth samples
+       BAND — near the surface / partially observed: exact per-voxel path
+  2. carve FREE blocks in one fused elementwise pass (no gathers);
+  3. update BAND blocks only (~1-3% of the volume) with x-aligned
+     8-voxel row gathers + one-hot in-row selection — contiguous row
+     gathers run ~3x faster than scalar gathers and amortise the
+     (ray, colour, flags) channels into one 16-wide row fetch.
+
+Equivalence: with conservative classification every class applies the
+exact dense-path update formula (tsdf_volume.cu:540-639 semantics), so
+integrate_fast(vol) == integrate(vol) up to float association — tested
+directly in tests/test_fast_path.py.
+
+Constraint: wrap offsets must stay multiples of 8 so physical blocks
+have contiguous logical runs — the tracker uses voxel_shift=16 in fast
+mode (the reference clamps shifts to <=16 anyway, ConfigArgs.h:162-169).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from kintinuous_tpu.config import CameraIntrinsics
+from kintinuous_tpu.ops.tsdf import VolumeState, scale_depth
+
+BLOCK = 8
+DEFAULT_CELL = 32  # classification mip cell in pixels
+OUT, FREE, BAND = 0, 1, 2
+
+
+class DepthTables(NamedTuple):
+    img_rows: jnp.ndarray  # (H*W/8, 16) f32: [ray x8 | aux x8]
+    mip_rows: jnp.ndarray  # (n_cells, 8) f32: [min,max,inv,...] dilated
+    n_cells_u: int
+
+
+def build_depth_tables(
+    cam: CameraIntrinsics,
+    depth_m: jnp.ndarray,
+    rgb: jnp.ndarray,
+    disc_mask: jnp.ndarray,
+    dilate: int = 2,
+    cell: int = DEFAULT_CELL,
+) -> DepthTables:
+    H, W = depth_m.shape
+    CELL = cell
+    ray = scale_depth(cam, depth_m)  # (H,W), 0 invalid
+
+    # per-pixel packed aux: u32 (disc<<24 | r<<16 | g<<8 | b) bitcast f32
+    aux_u32 = (
+        (disc_mask.astype(jnp.uint32) << 24)
+        | (jnp.clip(rgb[..., 0], 0, 255).astype(jnp.uint32) << 16)
+        | (jnp.clip(rgb[..., 1], 0, 255).astype(jnp.uint32) << 8)
+        | jnp.clip(rgb[..., 2], 0, 255).astype(jnp.uint32)
+    )
+    aux = jax.lax.bitcast_convert_type(aux_u32, jnp.float32)
+    img_rows = jnp.concatenate(
+        [ray.reshape(-1, BLOCK), aux.reshape(-1, BLOCK)], axis=1
+    )  # (HW/8, 16)
+
+    # cell mips over valid ray lengths
+    cu = W // CELL
+    cv = H // CELL
+    r4 = ray[: cv * CELL, : cu * CELL].reshape(cv, CELL, cu, CELL)
+    valid = r4 > 0
+    big = jnp.where(valid, r4, jnp.inf)
+    small = jnp.where(valid, r4, -jnp.inf)
+    min_c = big.min(axis=(1, 3))  # (cv,cu): inf if no valid
+    max_c = small.max(axis=(1, 3))  # -inf if no valid
+    inv_c = jnp.logical_not(valid).any(axis=(1, 3)).astype(jnp.float32)
+
+    # dilation by `dilate` cells (min/max/or pooling via shifts)
+    def dil(x, op, pad):
+        out = x
+        for dy in range(-dilate, dilate + 1):
+            for dx in range(-dilate, dilate + 1):
+                if dy == 0 and dx == 0:
+                    continue
+                sh = jnp.pad(x, dilate, constant_values=pad)[
+                    dilate + dy : dilate + dy + cv, dilate + dx : dilate + dx + cu
+                ]
+                out = op(out, sh)
+        return out
+
+    min_d = dil(min_c, jnp.minimum, jnp.inf)
+    max_d = dil(max_c, jnp.maximum, -jnp.inf)
+    inv_d = dil(inv_c, jnp.maximum, 1.0)  # border counts as invalid
+
+    # image-border cells are partially observed: mark invalid so FREE is
+    # never claimed beyond the measured region
+    iy = jnp.arange(cv)[:, None]
+    ix = jnp.arange(cu)[None, :]
+    border = (iy == 0) | (iy == cv - 1) | (ix == 0) | (ix == cu - 1)
+    inv_d = jnp.maximum(inv_d, border.astype(jnp.float32))
+
+    pad = jnp.zeros((cv, cu, 5), jnp.float32)
+    mip = jnp.concatenate(
+        [min_d[..., None], max_d[..., None], inv_d[..., None], pad], axis=-1
+    ).reshape(-1, 8)
+    return DepthTables(img_rows=img_rows, mip_rows=mip, n_cells_u=cu)
+
+
+def classify_blocks(
+    vol,  # VolumeState (dense) or BlockedVolume — only wrap is used
+    cam: CameraIntrinsics,
+    tables: DepthTables,
+    T_cam_to_local: jnp.ndarray,
+    voxel_size: float,
+    trunc_dist: float,
+    cell: int = DEFAULT_CELL,
+    dilate: int = 2,
+    resolution: int | None = None,
+):
+    """-> (block_class (Bz,By,Bx) i32, in OUT/FREE/BAND)."""
+    if resolution is not None:
+        R = resolution
+    elif vol.tsdf.ndim == 3:
+        R = vol.tsdf.shape[0]
+    else:
+        R = round(vol.tsdf.shape[0] ** (1 / 3)) * BLOCK
+    B = R // BLOCK
+    H, W = cam.height, cam.width
+    CELL = cell
+    cu = tables.n_cells_u
+    cv = (H // CELL)
+    r_half = BLOCK * voxel_size * math.sqrt(3.0) / 2.0
+
+    Tinv = jnp.linalg.inv(T_cam_to_local)
+    Rcl, tcl = Tinv[:3, :3], Tinv[:3, 3]
+
+    # block centre local coords (wrap is a multiple of BLOCK)
+    pb = jnp.arange(B, dtype=jnp.int32)
+    gx = jnp.mod(pb * BLOCK - vol.wrap[0], R).astype(jnp.float32) + BLOCK / 2.0
+    gy = jnp.mod(pb * BLOCK - vol.wrap[1], R).astype(jnp.float32) + BLOCK / 2.0
+    gz = jnp.mod(pb * BLOCK - vol.wrap[2], R).astype(jnp.float32) + BLOCK / 2.0
+    wx, wy, wz = gx * voxel_size, gy * voxel_size, gz * voxel_size
+
+    def bc(vx, vy, vz, t):  # (B,)x (B,)y (B,)z -> (Bz,By,Bx)
+        return vx[None, None, :] + vy[None, :, None] + vz[:, None, None] + t
+
+    x = bc(Rcl[0, 0] * wx, Rcl[0, 1] * wy, Rcl[0, 2] * wz, tcl[0])
+    y = bc(Rcl[1, 0] * wx, Rcl[1, 1] * wy, Rcl[1, 2] * wz, tcl[1])
+    z = bc(Rcl[2, 0] * wx, Rcl[2, 1] * wy, Rcl[2, 2] * wz, tcl[2])
+
+    r_c = jnp.sqrt(x * x + y * y + z * z)
+    behind = z < -r_half
+
+    zs = jnp.maximum(z, 1e-6)
+    u = x / zs * cam.fx + cam.cx
+    v = y / zs * cam.fy + cam.cy
+    # conservative pixel footprint radius; classification is only sound
+    # when the dilated mip window covers the whole footprint
+    p_r = cam.fx * r_half / jnp.maximum(z - r_half, 0.2) + 2.0
+    coverable = (p_r <= dilate * CELL) & (z > r_half)
+    fully_in = (
+        coverable & (u - p_r >= 0) & (u + p_r < W) & (v - p_r >= 0) & (v + p_r < H)
+    )
+    partly_in = (
+        (u + p_r >= 0) & (u - p_r < W) & (v + p_r >= 0) & (v - p_r < H) & (z > -r_half)
+    )
+
+    ci = jnp.clip(v.astype(jnp.int32) // CELL, 0, cv - 1)
+    cj = jnp.clip(u.astype(jnp.int32) // CELL, 0, cu - 1)
+    cell = tables.mip_rows[(ci * cu + cj).reshape(-1)].reshape(*x.shape, 8)
+    min_d, max_d, inv_d = cell[..., 0], cell[..., 1], cell[..., 2]
+
+    free = fully_in & (inv_d == 0) & (min_d > r_c + r_half + trunc_dist)
+    out = (
+        behind
+        | jnp.logical_not(partly_in)
+        | (coverable & jnp.isfinite(max_d) & (max_d < r_c - r_half - trunc_dist))
+    )
+    cls = jnp.where(free, FREE, jnp.where(out, OUT, BAND))
+    return cls
+
+
+def integrate_fast(
+    vol: "BlockedVolume",
+    cam: CameraIntrinsics,
+    depth_m: jnp.ndarray,
+    rgb: jnp.ndarray,
+    disc_mask: jnp.ndarray,
+    T_cam_to_local: jnp.ndarray,
+    voxel_size: float,
+    trunc_dist: float,
+    max_weight: float = 128.0,
+    band_cap: int = 12288,  # max band blocks updated per frame
+    carve: bool = True,
+    cell: int = DEFAULT_CELL,
+    dilate: int = 2,
+) -> "BlockedVolume":
+    """vol is BLOCK-MAJOR (ops/blocked.BlockedVolume): band updates are
+    contiguous 2KB block-row gathers/scatters (near-bandwidth, vs
+    ~54ns/row for scattered 32B rowlets measured on v5e)."""
+    from kintinuous_tpu.ops.blocked import BlockedVolume, CELLS
+
+    B = round(vol.tsdf.shape[0] ** (1 / 3))
+    R = B * BLOCK
+    H, W = depth_m.shape
+    tables = build_depth_tables(cam, depth_m, rgb, disc_mask, dilate=dilate, cell=cell)
+    cls = classify_blocks(
+        vol, cam, tables, T_cam_to_local, voxel_size, trunc_dist,
+        cell=cell, dilate=dilate, resolution=R,
+    )
+
+    tsdf, cw = vol.tsdf, vol.cw  # (B^3, 512)
+
+    # ---- FREE carve: one fused elementwise pass, no gathers ----------
+    if carve:
+        free_row = (cls == FREE).reshape(-1)[:, None]  # (B^3,1)
+        w_old = (cw >> 24).astype(jnp.float32)
+        w_new = jnp.minimum(w_old + 1.0, max_weight)
+        t_new = (tsdf * w_old + 1.0) / jnp.maximum(w_old + 1.0, 1.0)
+        tsdf = jnp.where(free_row, t_new, tsdf)
+        cw = jnp.where(
+            free_row,
+            (w_new.astype(jnp.uint32) << 24) | (cw & jnp.uint32(0x00FFFFFF)),
+            cw,
+        )
+
+    # ---- BAND pass: compact block list -> contiguous block-row gathers
+    bandb = (cls == BAND).reshape(-1)
+    bidx = jnp.cumsum(bandb.astype(jnp.int32)) - 1
+    dest = jnp.where(bandb & (bidx < band_cap), bidx, band_cap)
+    all_ids = jnp.arange(B * B * B, dtype=jnp.int32)
+    band_ids = (
+        jnp.zeros((band_cap,), jnp.int32).at[dest].set(all_ids, mode="drop")
+    )
+    n_band = jnp.minimum(bandb.sum(), band_cap)
+    valid_block = (jnp.arange(band_cap) < n_band)[:, None]  # (K,1)
+
+    t8 = tsdf[band_ids]  # (K,512) contiguous row gather
+    c8 = cw[band_ids]
+
+    # block id -> (bz,by,bx); voxel offsets within the 512-row
+    bz = band_ids // (B * B)
+    by = (band_ids // B) % B
+    bx = band_ids % B
+    off = jnp.arange(CELLS, dtype=jnp.int32)[None, :]  # (1,512)
+    px = (bx[:, None] * BLOCK) + (off & 7)
+    py = (by[:, None] * BLOCK) + ((off >> 3) & 7)
+    pz = (bz[:, None] * BLOCK) + (off >> 6)
+    gx = jnp.mod(px - vol.wrap[0], R).astype(jnp.float32) + 0.5
+    gy = jnp.mod(py - vol.wrap[1], R).astype(jnp.float32) + 0.5
+    gz = jnp.mod(pz - vol.wrap[2], R).astype(jnp.float32) + 0.5
+    wx, wy, wz = gx * voxel_size, gy * voxel_size, gz * voxel_size
+
+    Tinv = jnp.linalg.inv(T_cam_to_local)
+    Rcl, tcl = Tinv[:3, :3], Tinv[:3, 3]
+    x = Rcl[0, 0] * wx + Rcl[0, 1] * wy + Rcl[0, 2] * wz + tcl[0]
+    y = Rcl[1, 0] * wx + Rcl[1, 1] * wy + Rcl[1, 2] * wz + tcl[1]
+    z = Rcl[2, 0] * wx + Rcl[2, 1] * wy + Rcl[2, 2] * wz + tcl[2]
+    zs = jnp.maximum(z, 1e-6)
+    ui = jnp.round(x / zs * cam.fx + cam.cx).astype(jnp.int32)
+    vi = jnp.round(y / zs * cam.fy + cam.cy).astype(jnp.int32)
+    in_img = (z > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    pidx = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+
+    # one 16-wide aligned image-row gather per voxel + one-hot select
+    irow = tables.img_rows[(pidx >> 3).reshape(-1)].reshape(*pidx.shape, 16)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (*pidx.shape, BLOCK), pidx.ndim)
+        == (pidx & 7)[..., None]
+    )
+    samp_ray = jnp.sum(jnp.where(onehot, irow[..., :BLOCK], 0.0), axis=-1)
+    samp_aux_f = jnp.sum(jnp.where(onehot, irow[..., BLOCK:], 0.0), axis=-1)
+    samp_aux = jax.lax.bitcast_convert_type(samp_aux_f, jnp.uint32)
+    samp_disc = (samp_aux >> 24) > 0
+    r_new = ((samp_aux >> 16) & 0xFF).astype(jnp.float32)
+    g_new = ((samp_aux >> 8) & 0xFF).astype(jnp.float32)
+    b_new = (samp_aux & 0xFF).astype(jnp.float32)
+
+    valid = in_img & (samp_ray > 0) & valid_block
+    vox_ray = jnp.sqrt(x * x + y * y + z * z)
+    sdf = samp_ray - vox_ray
+    fuse = valid & (sdf >= -trunc_dist)
+    tsdf_new = jnp.minimum(1.0, sdf / trunc_dist)
+
+    w_old = (c8 >> 24).astype(jnp.float32)
+    r_old = ((c8 >> 16) & 0xFF).astype(jnp.float32)
+    g_old = ((c8 >> 8) & 0xFF).astype(jnp.float32)
+    b_old = (c8 & 0xFF).astype(jnp.float32)
+
+    w_upd = jnp.where(fuse, jnp.minimum(w_old + 1.0, max_weight), w_old)
+    t_upd = jnp.where(
+        fuse, (t8 * w_old + tsdf_new) / jnp.maximum(w_old + 1.0, 1.0), t8
+    )
+    cfuse = fuse & (jnp.abs(sdf) < trunc_dist) & jnp.logical_not(samp_disc)
+    inv_w = 1.0 / jnp.maximum(w_old + 1.0, 1.0)
+
+    def mix(old, new):
+        return jnp.where(cfuse, (old * w_old + new) * inv_w, old)
+
+    c_upd = (
+        (jnp.clip(w_upd, 0, 255).astype(jnp.uint32) << 24)
+        | (jnp.clip(mix(r_old, r_new), 0, 255).astype(jnp.uint32) << 16)
+        | (jnp.clip(mix(g_old, g_new), 0, 255).astype(jnp.uint32) << 8)
+        | jnp.clip(mix(b_old, b_new), 0, 255).astype(jnp.uint32)
+    )
+
+    # block-row scatter back; padding rows target out-of-range (dropped)
+    n_rows = tsdf.shape[0]
+    safe_rows = jnp.where(valid_block[:, 0], band_ids, n_rows)
+    tsdf = tsdf.at[safe_rows].set(t_upd, mode="drop")
+    cw = cw.at[safe_rows].set(c_upd, mode="drop")
+
+    return vol._replace(tsdf=tsdf, cw=cw)

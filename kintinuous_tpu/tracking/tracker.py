@@ -98,7 +98,10 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
 
     use_rgbd = cfg.rgbd_odometry or cfg.icp_plus_rgbd
 
-    def step(state: TrackerState, depth_mm, rgb, ext_delta):
+    def step(state: TrackerState, depth_raw, rgb_raw, ext_delta):
+        # inputs may arrive as u16/u8 (4x cheaper host->device transfer)
+        depth_mm = depth_raw.astype(jnp.float32)
+        rgb = rgb_raw.astype(jnp.float32)
         # --- preprocess (KintinuousTracker.cpp:465-479) ---
         filtered_mm = pp.bilateral_filter(
             depth_mm,
@@ -242,11 +245,224 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
             slices=slices,
             icp_count=icp_count,
             icp_residual=icp_res,
-            raycast_hits=jnp.isfinite(rc.depth).sum().astype(jnp.float32),
+            raycast_hits=(rc.depth > 0).sum().astype(jnp.float32),
         )
         return new_state, out
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
+    """The TPU production step: blocked volume, block-classified sparse
+    integration (ops/tsdf_fast), warm-started half-resolution raycast
+    (ops/raycast_fast), ICP on the half-res pyramid (the reference's
+    fastOdometry schedule skips the full-res level anyway,
+    ICPOdometry.cpp:44-55)."""
+    from kintinuous_tpu.ops.blocked import (
+        BlockedVolume,
+        axis_keep_mask,
+        blocked_to_dense,
+    )
+    from kintinuous_tpu.ops.raycast_fast import raycast_fast
+    from kintinuous_tpu.ops.tsdf_fast import integrate_fast
+
+    cam = cfg.camera
+    cam_half = cam.at_level(1)
+    R = cfg.volume_resolution
+    vsz = cfg.voxel_size
+    S = cfg.voxel_shift
+    OV = cfg.shift_overlap
+    cap = cfg.extraction_capacity
+    center = cfg.volume_size / 2.0
+    shift_thresh = S * vsz
+    levels = max(2, cfg.pyramid_levels - 1)
+    # schedule shifted one level: fast schedule (0,10,5,0) -> (10,5,0)
+    base_iters = cfg.icp_fast_iterations if cfg.fast_odometry else cfg.icp_iterations
+    iters = tuple(base_iters[1:]) if len(base_iters) > 1 else (10, 5)
+
+    def empty_slices():
+        e = ExtractResult(
+            points=jnp.zeros((cap, 3), jnp.float32),
+            colors=jnp.zeros((cap, 3), jnp.float32),
+            weights=jnp.zeros((cap,), jnp.float32),
+            count=jnp.int32(0),
+        )
+        return (e, e, e)
+
+    def step(state: TrackerState, depth_raw, rgb_raw, ext_delta):
+        # inputs may arrive as u16/u8 (4x cheaper host->device transfer)
+        depth_mm = depth_raw.astype(jnp.float32)
+        rgb = rgb_raw.astype(jnp.float32)
+        filtered_mm = pp.bilateral_filter(
+            depth_mm, cfg.bilateral_sigma_depth, cfg.bilateral_sigma_space,
+            cfg.bilateral_radius,
+        )
+        depth_m = pp.depth_to_metres(filtered_mm, cfg.max_depth)
+        depth_half = pp.pyr_down_depth(depth_m, sigma=0.09)
+        curr_pyr = build_map_pyramid(cam_half, depth_half, levels)
+
+        if use_odometry:
+            Tinv = se3.inverse(state.pred_pose)
+            Rm, tm = Tinv[:3, :3], Tinv[:3, 3]
+            pv = jnp.einsum("ij,jhw->ihw", Rm, state.pred_vmap) + tm[:, None, None]
+            pn = jnp.einsum("ij,jhw->ihw", Rm, state.pred_nmap)
+            pred_pyr = pyramid_from_maps(pv, pn, levels)
+            delta, icp_count, icp_res = icp_odometry(
+                cam_half, curr_pyr, pred_pyr, iters,
+                cfg.icp_dist_thresh, cfg.icp_angle_thresh_deg,
+            )
+        else:
+            delta = ext_delta
+            icp_count = jnp.float32(0.0)
+            icp_res = jnp.float32(0.0)
+
+        pose = state.pose @ delta
+        vol = state.vol
+
+        if cfg.static_mode:
+            shift = jnp.zeros(3, jnp.int32)
+            slices = empty_slices()
+        else:
+            cam_off = pose[:3, 3] - center
+            shift = jnp.where(
+                cam_off >= shift_thresh, S,
+                jnp.where(cam_off <= -shift_thresh, -S, 0),
+            ).astype(jnp.int32)
+            shift_any = (shift != 0).any()
+
+            def do_slices(v):
+                dense_view = VolumeState(
+                    tsdf=blocked_to_dense(v.tsdf),
+                    cw=blocked_to_dense(v.cw),
+                    wrap=v.wrap, origin=v.origin,
+                )
+
+                def one(axis, size_xyz):
+                    s = shift[axis]
+
+                    def ex(_):
+                        lo = jnp.zeros(3, jnp.int32)
+                        lo = lo.at[axis].set(jnp.where(s > 0, 0, R - S - OV))
+                        return extract_points(dense_view, lo, size_xyz, vsz, cap)
+
+                    def no(_):
+                        return empty_slices()[0]
+
+                    return jax.lax.cond(s != 0, ex, no, 0)
+
+                return (
+                    one(0, (S + OV, R, R)),
+                    one(1, (R, S + OV, R)),
+                    one(2, (R, R, S + OV)),
+                )
+
+            slices = jax.lax.cond(
+                shift_any, do_slices, lambda _: empty_slices(), vol
+            )
+
+            def do_clear(v):
+                def keep_axis(axis):
+                    s = shift[axis]
+                    lo = jnp.where(s > 0, 0, R - S)
+                    hi = jnp.where(s > 0, S, R)
+                    logical = jnp.mod(
+                        jnp.arange(R, dtype=jnp.int32) - v.wrap[axis], R
+                    )
+                    return jnp.logical_not(
+                        (s != 0) & (logical >= lo) & (logical < hi)
+                    )
+
+                keep = axis_keep_mask(keep_axis(0), keep_axis(1), keep_axis(2))
+                return v._replace(
+                    tsdf=v.tsdf * keep,
+                    cw=jnp.where(keep, v.cw, jnp.uint32(0)),
+                )
+
+            vol = jax.lax.cond(shift_any, do_clear, lambda v: v, vol)
+            vol = vol._replace(
+                wrap=jnp.mod(vol.wrap + shift, R),
+                origin=vol.origin + shift.astype(jnp.float32) * vsz,
+            )
+            pose = pose.at[:3, 3].add(-shift.astype(jnp.float32) * vsz)
+
+        disc = pp.depth_discontinuity_mask(
+            depth_m, radius=3, jump_m=cfg.depth_discontinuity_mm * 1e-3
+        )
+        vol = integrate_fast(
+            vol, cam, depth_m, rgb, disc, pose, vsz, cfg.trunc_dist,
+            float(cfg.max_weight), band_cap=cfg.band_cap,
+        )
+
+        # warm-start from the measured depth only: after integration the
+        # model surface matches the measurement wherever observed, and
+        # warming from previous *predictions* creates a drift feedback
+        # loop (verified empirically on long sequences)
+        rc = raycast_fast(
+            vol, cam_half, pose, None, depth_half, vsz,
+            cfg.volume_size, cfg.trunc_dist,
+        )
+
+        pose_global = pose.at[:3, 3].add(vol.origin)
+        new_state = TrackerState(
+            vol=vol, pose=pose, pred_vmap=rc.vmap, pred_nmap=rc.nmap,
+            pred_pose=pose, frame=state.frame + 1, rgbd=None,
+        )
+        out = StepOutputs(
+            pose_local=pose, pose_global=pose_global, shift=shift,
+            slices=slices, icp_count=icp_count, icp_residual=icp_res,
+            raycast_hits=(rc.depth > 0).sum().astype(jnp.float32),
+        )
+        return new_state, out
+
+    step._empty_slices = empty_slices  # reused by the batched wrapper
+    return jax.jit(step, donate_argnums=(0,)), step
+
+
+def make_batched_step_fast(cfg: KintinuousConfig, use_odometry: bool, batch: int):
+    """Run `batch` frames per dispatch with lax.scan — one host->device
+    frame upload and one small output fetch per batch, amortising the
+    device-tunnel round-trip latency that dominates per-frame dispatch.
+
+    Slice extraction: at most ONE shift per axis per batch keeps its
+    extraction buffers (shifts need voxel_shift*voxel metres of travel,
+    >> inter-frame motion at any realistic batch size; shift counts are
+    returned so the host can detect the never-in-practice overflow).
+    """
+    _, core = make_step_fast(cfg, use_odometry)
+    empty = core._empty_slices
+
+    def batched(state, depths, rgbs, deltas):
+        B = depths.shape[0]
+
+        def body(carry, inp):
+            st, acc, accf = carry
+            d, c, dl, idx = inp
+            st, out = core(st, d, c, dl)
+
+            def sel(axis):
+                s = out.shift[axis]
+                newacc = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(s != 0, n, o),
+                    out.slices[axis], acc[axis],
+                )
+                return newacc, jnp.where(s != 0, idx, accf[axis])
+
+            pairs = [sel(a) for a in range(3)]
+            acc = tuple(p[0] for p in pairs)
+            accf = jnp.stack([p[1] for p in pairs])
+            y = (
+                out.pose_global, out.shift, out.icp_count,
+                out.icp_residual, out.raycast_hits,
+            )
+            return (st, acc, accf), y
+
+        init = (state, empty(), jnp.full((3,), -1, jnp.int32))
+        (state, acc, accf), ys = jax.lax.scan(
+            body, init, (depths, rgbs, deltas, jnp.arange(B, dtype=jnp.int32))
+        )
+        return state, ys, acc, accf
+
+    return jax.jit(batched, donate_argnums=(0,))
 
 
 _AXIS_DIM = {
@@ -267,10 +483,17 @@ class Tracker:
     def __init__(self, cfg: KintinuousConfig,
                  slice_callback: Optional[Callable[[CloudSlice], None]] = None):
         self.cfg = cfg
-        self._step_odom = make_step(cfg, use_odometry=True)
-        self._step_ext = make_step(cfg, use_odometry=False)
+        if cfg.fast_mode:
+            self._step_odom = make_step_fast(cfg, use_odometry=True)[0]
+            self._step_ext = make_step_fast(cfg, use_odometry=False)[0]
+        else:
+            self._step_odom = make_step(cfg, use_odometry=True)
+            self._step_ext = make_step(cfg, use_odometry=False)
+        self._batched = {}  # batch size -> jitted batched step
         cam = cfg.camera
         H, W = cam.height, cam.width
+        if cfg.fast_mode:
+            H, W = H // 2, W // 2  # predictions live at half resolution
         init_pose = jnp.eye(4, dtype=jnp.float32)
         init_pose = init_pose.at[:3, 3].set(cfg.volume_size / 2.0)
         if cfg.rgbd_odometry or cfg.icp_plus_rgbd:
@@ -283,9 +506,15 @@ class Tracker:
             )
         else:
             init_rgbd = None
+        if cfg.fast_mode:
+            from kintinuous_tpu.ops.blocked import make_blocked_volume
+
+            vol0 = make_blocked_volume(cfg.volume_resolution)
+        else:
+            vol0 = make_volume(cfg.volume_resolution)
         # donated state fields must not alias each other
         self.state = TrackerState(
-            vol=make_volume(cfg.volume_resolution),
+            vol=vol0,
             pose=init_pose,
             pred_vmap=jnp.full((3, H, W), jnp.nan, jnp.float32),
             pred_nmap=jnp.full((3, H, W), jnp.nan, jnp.float32),
@@ -313,11 +542,12 @@ class Tracker:
         """Feed one frame. depth_mm: (H,W) uint16/float; rgb: (H,W,3)
         uint8 or None. ext_delta replaces on-device odometry (ground
         truth replay) when given; the first frame always uses identity."""
-        d = jnp.asarray(np.asarray(depth_mm, np.float32))
+        dn = np.asarray(depth_mm)
+        d = jnp.asarray(dn if dn.dtype == np.uint16 else dn.astype(np.float32))
         if rgb is None:
-            rgb_f = jnp.zeros((*d.shape, 3), jnp.float32)
+            rgb_f = jnp.zeros((*d.shape, 3), jnp.uint8)
         else:
-            rgb_f = jnp.asarray(np.asarray(rgb, np.float32))
+            rgb_f = jnp.asarray(np.asarray(rgb))
         first = self._frame_idx == 0
         if ext_delta is not None or first:
             delta = jnp.asarray(
@@ -332,6 +562,75 @@ class Tracker:
         # consume lagged outputs so downloads overlap device compute
         while len(self._pending) > 1:
             self._consume(*self._pending.popleft())
+
+    def process_frames(self, frames) -> None:
+        """Batched offline path (fast_mode only): frames is a list of
+        (depth_u16 (H,W), rgb_u8 (H,W,3) or None, timestamp_us). One
+        device dispatch + one frame upload + one small output fetch per
+        batch — amortises the host<->device tunnel round-trip latency
+        that dominates single-frame dispatch."""
+        assert self.cfg.fast_mode, "batched path requires fast_mode"
+        from kintinuous_tpu.tracking.tracker import make_batched_step_fast
+
+        # first frame must go through the identity-delta path
+        while frames and self._frame_idx == 0:
+            d, c, ts = frames[0]
+            self.process_frame(d, c, ts)
+            frames = frames[1:]
+        if not frames:
+            return
+        self.flush()
+        B = len(frames)
+        if B not in self._batched:
+            self._batched[B] = make_batched_step_fast(
+                self.cfg, use_odometry=True, batch=B
+            )
+        H, W = self.cfg.camera.height, self.cfg.camera.width
+        depths = np.stack([np.asarray(f[0], np.uint16) for f in frames])
+        rgbs = np.stack(
+            [
+                np.asarray(f[1], np.uint8)
+                if f[1] is not None
+                else np.zeros((H, W, 3), np.uint8)
+                for f in frames
+            ]
+        )
+        deltas = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        self.state, ys, acc, accf = self._batched[B](
+            self.state, jnp.asarray(depths), jnp.asarray(rgbs), jnp.asarray(deltas)
+        )
+        poses_g, shifts, counts, resids, hits = jax.device_get(
+            (ys[0], ys[1], ys[2], ys[3], ys[4])
+        )
+        accf_h = np.asarray(accf)
+        for k, (_, _, ts) in enumerate(frames):
+            self.poses.append(np.asarray(poses_g[k]))
+            self.stamps_us.append(ts)
+            self.stats["icp_count"].append(float(counts[k]))
+            self.stats["icp_residual"].append(float(resids[k]))
+            self.shift_log.append(np.asarray(shifts[k]))
+            self._frame_idx += 1
+        for axis in range(3):
+            fidx = int(accf_h[axis])
+            if fidx < 0:
+                continue
+            res = acc[axis]
+            cnt = int(res.count)
+            if cnt == 0:
+                continue
+            s = int(np.asarray(shifts[fidx])[axis])
+            sl = CloudSlice(
+                points=np.asarray(res.points[:cnt]),
+                colors=np.clip(np.asarray(res.colors[:cnt]), 0, 255).astype(np.uint8),
+                weights=np.asarray(res.weights[:cnt]),
+                dimension=_AXIS_DIM[(axis, 1 if s > 0 else -1)],
+                pose=np.asarray(poses_g[fidx]),
+                timestamp_us=frames[fidx][2],
+                frame_index=self._frame_idx - B + fidx,
+            )
+            self.slices.append(sl)
+            if self.slice_callback:
+                self.slice_callback(sl)
 
     def flush(self) -> None:
         while self._pending:
@@ -373,12 +672,21 @@ class Tracker:
         self.flush()
         cfg = self.cfg
         R = cfg.volume_resolution
+        vol = self.state.vol
+        if cfg.fast_mode:
+            from kintinuous_tpu.ops.blocked import blocked_to_dense
+            from kintinuous_tpu.ops.tsdf import VolumeState as _VS
+
+            vol = _VS(
+                tsdf=blocked_to_dense(vol.tsdf), cw=blocked_to_dense(vol.cw),
+                wrap=vol.wrap, origin=vol.origin,
+            )
         res = jax.jit(
             lambda v: extract_points(
                 v, jnp.zeros(3, jnp.int32), (R, R, R), cfg.voxel_size,
                 cfg.extraction_capacity,
             )
-        )(self.state.vol)
+        )(vol)
         cnt = int(res.count)
         pose = self.poses[-1] if self.poses else np.eye(4)
         ts = self.stamps_us[-1] if self.stamps_us else 0

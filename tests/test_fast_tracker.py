@@ -1,0 +1,122 @@
+"""End-to-end fast-mode tracker (blocked volume + warm raycast)."""
+
+import numpy as np
+import pytest
+
+from kintinuous_tpu.config import CameraIntrinsics, tiny_test_config
+from kintinuous_tpu.eval.ate import absolute_trajectory_error
+from kintinuous_tpu.io.synth import Scene, orbit_trajectory, render_frame, straight_trajectory
+from kintinuous_tpu.tracking.tracker import Tracker
+
+CAM = CameraIntrinsics(fx=140.0, fy=140.0, cx=80.0, cy=60.0, width=160, height=120)
+
+
+def fast_cfg(**kw):
+    base = dict(
+        camera=CAM,
+        volume_size=3.0,
+        volume_resolution=128,
+        fast_mode=True,
+        voxel_shift=8,
+        pyramid_levels=4,
+        icp_iterations=(0, 10, 5, 0),
+        bilateral_radius=2,
+        extraction_capacity=200_000,
+        band_cap=2048,
+    )
+    base.update(kw)
+    return tiny_test_config(**base)
+
+
+def run(cfg, poses, use_gt=False):
+    tracker = Tracker(cfg)
+    last = None
+    for i, T in enumerate(poses):
+        depth_mm, rgb = render_frame(Scene.default(), CAM, T)
+        delta = None
+        if use_gt:
+            delta = (
+                np.linalg.inv(last) @ T if last is not None else np.eye(4)
+            ).astype(np.float32)
+        tracker.process_frame(depth_mm, rgb, int(i * 1e6 / 30), ext_delta=delta)
+        last = T
+    tracker.flush()
+    return tracker
+
+
+def ate_of(tracker, poses):
+    stamps = np.arange(len(poses)) / 30.0
+    ate, n = absolute_trajectory_error(
+        stamps, np.array(poses), np.array(tracker.stamps_us) / 1e6,
+        np.array(tracker.poses),
+    )
+    assert n == len(poses)
+    return ate
+
+
+def test_fast_tracker_static_orbit():
+    cfg = fast_cfg(static_mode=True)
+    poses = orbit_trajectory(15, radius=0.12, angle_deg=6.0)
+    tracker = run(cfg, poses)
+    ate = ate_of(tracker, poses)
+    assert ate < 0.03, f"fast-mode ATE {ate*100:.1f} cm"
+    # warm-started raycast keeps predicting the surface
+    assert min(tracker.stats["icp_count"][3:]) > 500
+
+
+def test_fast_tracker_shifting_gt():
+    cfg = fast_cfg()
+    poses = straight_trajectory(25, distance=1.0, axis=0)
+    tracker = run(cfg, poses, use_gt=True)
+    ate = ate_of(tracker, poses)
+    assert ate < 1e-3
+    n_shifts = sum(1 for s in tracker.shift_log if s[0] > 0)
+    assert n_shifts >= 3
+    # local pose stays near the volume center after shifts
+    local_t = np.asarray(tracker.state.pose)[:3, 3]
+    assert abs(local_t[0] - cfg.volume_size / 2) < cfg.voxel_shift * cfg.voxel_size + 0.1
+
+
+def test_fast_tracker_finalise():
+    cfg = fast_cfg(static_mode=True)
+    poses = orbit_trajectory(5, radius=0.05, angle_deg=3.0)
+    tracker = run(cfg, poses)
+    final = tracker.finalise()
+    assert final.dimension == "FINAL"
+    assert len(final.points) > 300
+
+
+def test_batched_matches_single():
+    poses = orbit_trajectory(9, radius=0.1, angle_deg=5.0)
+    frames = [render_frame(Scene.default(), CAM, T) for T in poses]
+
+    cfg = fast_cfg(static_mode=True)
+    tr_a = Tracker(cfg)
+    for i, (d, c) in enumerate(frames):
+        tr_a.process_frame(d, c, int(i * 1e6 / 30))
+    tr_a.flush()
+
+    tr_b = Tracker(cfg)
+    tr_b.process_frames(
+        [(d, c, int(i * 1e6 / 30)) for i, (d, c) in enumerate(frames)]
+    )
+    np.testing.assert_allclose(tr_b.poses[-1], tr_a.poses[-1], atol=1e-5)
+    assert len(tr_b.poses) == len(tr_a.poses) == 9
+    np.testing.assert_allclose(
+        np.asarray(tr_b.state.pose), np.asarray(tr_a.state.pose), atol=1e-5
+    )
+
+
+def test_batched_shifting_slices():
+    cfg = fast_cfg()
+    poses = straight_trajectory(24, distance=1.0, axis=0)
+    frames = [render_frame(Scene.default(), CAM, T) for T in poses]
+    tr = Tracker(cfg)
+    items = [(d, c, int(i * 1e6 / 30)) for i, (d, c) in enumerate(frames)]
+    # feed in batches of 8 (first frame handled internally)
+    tr.process_frames(items[:8])
+    tr.process_frames(items[8:16])
+    tr.process_frames(items[16:])
+    n_shifts = sum(1 for s in tr.shift_log if s[0] > 0)
+    assert n_shifts >= 3
+    assert any(s.dimension == "XPlus" for s in tr.slices)
