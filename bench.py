@@ -59,9 +59,24 @@ def main():
          (i + 1 + batch) * 33333)
         for i in range(n_frames)
     ]
+    # pipeline: a prefetch thread uploads batch k+1 while k computes
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def uploader():
+        for k in range(0, n_frames, batch):
+            q.put(tracker.upload_batch(items[k : k + batch]))
+        q.put(None)
+
     t0 = time.perf_counter()
-    for k in range(0, n_frames, batch):
-        tracker.process_frames(items[k : k + batch])
+    threading.Thread(target=uploader, daemon=True).start()
+    while True:
+        b = q.get()
+        if b is None:
+            break
+        tracker.process_batch_device(*b)
     elapsed = time.perf_counter() - t0
     fps = n_frames / elapsed
 

@@ -74,6 +74,10 @@ def build_config(argv) -> KintinuousConfig:
     p.add_argument("-dc", dest="dynamic_cube", action="store_true")
     p.add_argument("-o", dest="save_file", default="output")
     p.add_argument("--resolution", type=int, default=512)
+    p.add_argument(
+        "--fast", dest="fast_mode", action="store_true",
+        help="blocked fast path: sparse TSDF updates + warm raycast + batched dispatch",
+    )
     a = p.parse_args(argv)
 
     cam = load_calibration(a.calibration) if a.calibration else CameraIntrinsics()
@@ -99,6 +103,7 @@ def build_config(argv) -> KintinuousConfig:
         fast_loops=a.fast_loops,
         dynamic_cube=a.dynamic_cube,
         save_file=a.save_file,
+        fast_mode=a.fast_mode,
     )
 
 

@@ -174,6 +174,9 @@ def classify_blocks(
     partly_in = (
         (u + p_r >= 0) & (u - p_r < W) & (v + p_r >= 0) & (v - p_r < H) & (z > -r_half)
     )
+    # blocks touching the camera itself project degenerately; force BAND
+    # so their on-axis voxels still get exact handling (dense-path parity)
+    partly_in = partly_in | (r_c < 2.0 * r_half + 0.2)
 
     ci = jnp.clip(v.astype(jnp.int32) // CELL, 0, cv - 1)
     cj = jnp.clip(u.astype(jnp.int32) // CELL, 0, cu - 1)

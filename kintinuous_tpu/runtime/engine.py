@@ -137,6 +137,9 @@ class SlamEngine:
             stamps, poses = load_trajectory(cfg.trajectory_file)
             gt = GroundTruthOdometry(stamps, poses)
 
+        if cfg.fast_mode and gt is None and not cfg.frame_rate_limit:
+            return self._run_batched(progress)
+
         cam = cfg.camera
         self._t_start = time.perf_counter()
         pending = []  # (depth, rgb, ts) lagged for keyframe publishing
@@ -174,6 +177,143 @@ class SlamEngine:
             if w.error is not None:
                 raise w.error
         return self
+
+    def _run_batched(self, progress=None) -> "SlamEngine":
+        """Fast-mode offline path: native batch decode + pipelined
+        upload + scanned multi-frame dispatch (one device round-trip
+        per batch instead of per frame)."""
+        cfg = self.cfg
+        cam = cfg.camera
+        batch = 8
+        self._t_start = time.perf_counter()
+
+        def batches():
+            try:
+                from kintinuous_tpu.io.klg_native import NativeKlgReader, available
+
+                if not available():
+                    raise RuntimeError
+                with NativeKlgReader(cfg.log_file, cam.width, cam.height) as r:
+                    total = r.total_num_frames
+                    if cfg.total_num_frames > 0:
+                        total = min(total, cfg.total_num_frames)
+                    start = 0
+                    while start < total:
+                        n = min(batch, total - start)
+                        d, c, ts = r.read_batch(start, n)
+                        yield d, c, ts, total
+                        start += n
+            except Exception:
+                with KlgLogReader(
+                    cfg.log_file, width=cam.width, height=cam.height,
+                    max_frames=cfg.total_num_frames,
+                ) as r:
+                    buf = []
+                    for fr in r:
+                        buf.append(fr)
+                        if len(buf) == batch:
+                            yield (
+                                np.stack([f.depth for f in buf]),
+                                np.stack([f.rgb for f in buf]),
+                                np.array([f.timestamp for f in buf]),
+                                r.total_num_frames,
+                            )
+                            buf = []
+                    if buf:
+                        yield (
+                            np.stack([f.depth for f in buf]),
+                            np.stack([f.rgb for f in buf]),
+                            np.array([f.timestamp for f in buf]),
+                            r.total_num_frames,
+                        )
+
+        upload_q: "queue.Queue" = queue.Queue(maxsize=2)
+        host_frames: List = []  # (depth, rgb, ts) per frame for PR keyframes
+
+        def uploader():
+            first = True
+            for d, c, ts, total in batches():
+                if first:
+                    # frame 0 goes through the single-frame ext path
+                    upload_q.put(("first", d[0], c[0], int(ts[0]), total))
+                    if len(d) > 1:
+                        up = self.tracker.upload_batch(
+                            [(d[k], c[k], int(ts[k])) for k in range(1, len(d))]
+                        )
+                        upload_q.put(("batch", up, d[1:], c[1:], total))
+                    first = False
+                else:
+                    up = self.tracker.upload_batch(
+                        [(d[k], c[k], int(ts[k])) for k in range(len(d))]
+                    )
+                    upload_q.put(("batch", up, d, c, total))
+            upload_q.put(None)
+
+        threading.Thread(target=uploader, daemon=True).start()
+        published = 0
+        total = 0
+        while True:
+            item = upload_q.get()
+            if item is None:
+                break
+            if item[0] == "first":
+                _, d0, c0, ts0, total = item
+                with self.sw.span("processFrame"):
+                    self.tracker.process_frame(d0, c0, ts0)
+                self.tracker.flush()
+                self._frames_done += 1
+                host_frames.append((d0, c0, ts0))
+            else:
+                _, up, ds, cs, total = item
+                with self.sw.span("processFrame"):
+                    self.tracker.process_batch_device(*up)
+                self._frames_done += len(up[2])
+                for k in range(len(ds)):
+                    host_frames.append((ds[k], cs[k], int(up[2][k])))
+            published = self._publish_batched(host_frames, published)
+            if progress:
+                progress(self._frames_done, total)
+        self.tracker.flush()
+        self._publish_batched(host_frames, published)
+        self.tracker.finalise()
+        self._end_of_log.set()
+        self.slice_q.put(_SENTINEL)
+        if self.place_rec is not None:
+            self.kf_q.put(_SENTINEL)
+        for w in self.workers:
+            w.finished.wait(timeout=300)
+        for w in self.workers:
+            if w.error is not None:
+                raise w.error
+        return self
+
+    def _publish_batched(self, host_frames, published: int) -> int:
+        poses = self.tracker.poses
+        while published < len(poses) and published < len(host_frames):
+            depth, rgb, ts = host_frames[published]
+            pose = poses[published]
+            if self.deformation is not None:
+                self.deformation.add_frame_pose(ts, pose)
+            if self.place_rec is not None and rgb is not None:
+                if self._last_kf_pose is None:
+                    take = True
+                else:
+                    d = np.linalg.inv(self._last_kf_pose) @ pose
+                    rnorm = np.linalg.norm(
+                        np.asarray(se3.log_se3(jnp.asarray(d, dtype=jnp.float32)))[:3]
+                    )
+                    tnorm = np.linalg.norm(d[:3, 3])
+                    take = (rnorm + tnorm) / 2.0 >= self.cfg.place_rec_motion_thresh
+                if take:
+                    self._last_kf_pose = pose
+                    try:
+                        self.kf_q.put_nowait(
+                            (rgb, depth.astype(np.float32) / 1000.0, pose, ts)
+                        )
+                    except queue.Full:
+                        pass
+            published += 1
+        return published
 
     def _publish(self, pending):
         """Pair lagged frames with their now-available poses; gate PR

@@ -579,12 +579,6 @@ class Tracker:
             frames = frames[1:]
         if not frames:
             return
-        self.flush()
-        B = len(frames)
-        if B not in self._batched:
-            self._batched[B] = make_batched_step_fast(
-                self.cfg, use_odometry=True, batch=B
-            )
         H, W = self.cfg.camera.height, self.cfg.camera.width
         depths = np.stack([np.asarray(f[0], np.uint16) for f in frames])
         rgbs = np.stack(
@@ -595,15 +589,44 @@ class Tracker:
                 for f in frames
             ]
         )
+        self.process_batch_device(
+            jnp.asarray(depths), jnp.asarray(rgbs), [f[2] for f in frames]
+        )
+
+    def upload_batch(self, frames):
+        """Host->device upload of a frame batch; callable from a
+        prefetch thread to overlap the transfer with device compute.
+        -> (depths_dev, rgbs_dev, ts_list) for process_batch_device."""
+        H, W = self.cfg.camera.height, self.cfg.camera.width
+        depths = np.stack([np.asarray(f[0], np.uint16) for f in frames])
+        rgbs = np.stack(
+            [
+                np.asarray(f[1], np.uint8)
+                if f[1] is not None
+                else np.zeros((H, W, 3), np.uint8)
+                for f in frames
+            ]
+        )
+        return jnp.asarray(depths), jnp.asarray(rgbs), [f[2] for f in frames]
+
+    def process_batch_device(self, depths_j, rgbs_j, ts_list) -> None:
+        """Batched step on pre-uploaded device arrays."""
+        assert self._frame_idx > 0, "first frame must go through process_frame"
+        self.flush()
+        B = int(depths_j.shape[0])
+        if B not in self._batched:
+            self._batched[B] = make_batched_step_fast(
+                self.cfg, use_odometry=True, batch=B
+            )
         deltas = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
         self.state, ys, acc, accf = self._batched[B](
-            self.state, jnp.asarray(depths), jnp.asarray(rgbs), jnp.asarray(deltas)
+            self.state, depths_j, rgbs_j, jnp.asarray(deltas)
         )
         poses_g, shifts, counts, resids, hits = jax.device_get(
             (ys[0], ys[1], ys[2], ys[3], ys[4])
         )
         accf_h = np.asarray(accf)
-        for k, (_, _, ts) in enumerate(frames):
+        for k, ts in enumerate(ts_list):
             self.poses.append(np.asarray(poses_g[k]))
             self.stamps_us.append(ts)
             self.stats["icp_count"].append(float(counts[k]))
@@ -625,7 +648,7 @@ class Tracker:
                 weights=np.asarray(res.weights[:cnt]),
                 dimension=_AXIS_DIM[(axis, 1 if s > 0 else -1)],
                 pose=np.asarray(poses_g[fidx]),
-                timestamp_us=frames[fidx][2],
+                timestamp_us=ts_list[fidx],
                 frame_index=self._frame_idx - B + fidx,
             )
             self.slices.append(sl)

@@ -112,3 +112,28 @@ def test_stopwatch_udp_and_stats():
     assert "unit_test_span" in payload["timings"]
     assert sw.stats()["unit_test_span"]["count"] == 1
     sock.close()
+
+
+def test_engine_fast_batched_run(seq, tmp_path):
+    path, gt, poses = seq
+    from kintinuous_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config(
+        camera=CAM, log_file=path, static_mode=True, fast_mode=True,
+        volume_resolution=64, voxel_shift=8,
+        save_file=str(tmp_path / "fastout"),
+    )
+    engine = SlamEngine(cfg).run()
+    outs = engine.save()
+    stamps, gt_poses = load_trajectory(gt)
+    est_s, est_p = load_trajectory(outs["poses"])
+    ate, n = absolute_trajectory_error(stamps, gt_poses, est_s, est_p)
+    assert n == 12
+    assert ate < 0.04, f"fast batched engine ATE {ate*100:.1f} cm"
+    from kintinuous_tpu.viz.headless import save_model_views, save_trajectory_ply, stats_panel
+
+    views = save_model_views(str(tmp_path / "viz"), engine.tracker)
+    assert all(__import__("os").path.exists(v) for v in views)
+    save_trajectory_ply(str(tmp_path / "traj.ply"), engine.tracker.poses)
+    stats = stats_panel(engine)
+    assert stats["frames"] == 12

@@ -107,3 +107,33 @@ def test_generate_klg(tmp_path):
     assert (frames[0].depth > 0).mean() > 0.99
     stamps, poses = load_trajectory(gt)
     assert len(stamps) == 4
+
+
+def test_native_klg_reader(tmp_path):
+    from kintinuous_tpu.io import klg_native
+
+    if not klg_native.available():
+        import pytest
+
+        pytest.skip("native decoder unavailable")
+    cam = CameraIntrinsics(fx=70, fy=70, cx=40, cy=30, width=80, height=60)
+    path = str(tmp_path / "n.klg")
+    generate_klg(path, cam, orbit_trajectory(5))
+    with klg_native.NativeKlgReader(path, width=80, height=60) as r:
+        assert r.total_num_frames == 5
+        depth, rgb, ts = r.read_batch(0, 5)
+        assert depth.shape == (5, 60, 80) and rgb.shape == (5, 60, 80, 3)
+        assert (ts == np.array([int(i * 1e6 / 30) for i in range(5)])).all()
+        # must match the pure-Python reader bit-for-bit on depth
+        with KlgLogReader(path, width=80, height=60) as rp:
+            frames = list(rp)
+        for i, f in enumerate(frames):
+            np.testing.assert_array_equal(depth[i], f.depth)
+            assert np.abs(rgb[i].astype(int) - f.rgb.astype(int)).mean() < 2
+        # random access: decode a middle batch
+        d2, c2, t2 = r.read_batch(2, 2)
+        np.testing.assert_array_equal(d2[0], frames[2].depth)
+    # probe: out-of-range batch
+    with klg_native.NativeKlgReader(path, width=80, height=60) as r:
+        d, c, t = r.read_batch(4, 10)
+        assert len(d) == 1
