@@ -45,7 +45,7 @@ def main():
         return k if k < n_unique else period - k
 
     tracker = Tracker(cfg)
-    batch = 8
+    batch = 16
     # warm-up: first frame (ext path) + one batch (compiles batched step)
     tracker.process_frames(
         [(frames[pingpong(i)][0], frames[pingpong(i)][1], i * 33333)

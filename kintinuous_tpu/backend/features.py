@@ -75,6 +75,8 @@ class Vocabulary:
               seed: int = 0) -> "Vocabulary":
         rng = np.random.default_rng(seed)
         n = len(descriptors)
+        if n == 0:
+            return Vocabulary(np.zeros((1, 32), np.uint8))
         k = min(k, max(1, n))
         cent = descriptors[rng.choice(n, k, replace=False)].copy()
         bits = np.unpackbits(descriptors, axis=1).astype(np.float32)  # (n,256)

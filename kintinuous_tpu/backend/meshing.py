@@ -70,12 +70,21 @@ def mesh_current_volume(tracker, cfg: KintinuousConfig,
                         face_capacity: int = 4_000_000) -> MeshPatch:
     """Surface-nets mesh of the live volume (global coords)."""
     R = cfg.volume_resolution
+    vol = tracker.state.vol
+    if cfg.fast_mode:
+        from kintinuous_tpu.ops.blocked import blocked_to_dense
+        from kintinuous_tpu.ops.tsdf import VolumeState as _VS
+
+        vol = _VS(
+            tsdf=blocked_to_dense(vol.tsdf), cw=blocked_to_dense(vol.cw),
+            wrap=vol.wrap, origin=vol.origin,
+        )
     res = jax.jit(
         lambda v: extract_mesh(
             v, jnp.zeros(3, jnp.int32), (R, R, R), cfg.voxel_size,
             vertex_capacity, face_capacity,
         )
-    )(tracker.state.vol)
+    )(vol)
     nv, nf = int(res.n_vertices), int(res.n_faces)
     return MeshPatch(
         vertices=np.asarray(res.vertices[:nv]),

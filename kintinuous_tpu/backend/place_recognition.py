@@ -193,7 +193,12 @@ class PlaceRecognition:
                 # bootstrap the vocabulary from early keyframes
                 if len(self._pending_desc) < 5:
                     return False
-                alld = np.concatenate(self._pending_desc)
+                alld = np.concatenate(
+                    [d for d in self._pending_desc if len(d)]
+                    or [np.zeros((0, 32), np.uint8)]
+                )
+                if len(alld) < 64:
+                    return False
                 self.vocab = Vocabulary.train(alld, k=min(512, max(64, len(alld) // 4)))
             self.db = BowDatabase(self.vocab)
             for kf in self.keyframes:

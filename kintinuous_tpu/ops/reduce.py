@@ -42,6 +42,22 @@ class GNSystem(NamedTuple):
     residual: jnp.ndarray  # () f32 sum of squared residuals
 
 
+def pack_maps(vmap: jnp.ndarray, nmap: jnp.ndarray) -> jnp.ndarray:
+    """(3,H,W) vertex+normal maps -> (H*W, 8) rows [vx,vy,vz,nx,ny,nz,0,0].
+
+    A single 8-wide row gather replaces six scalar gathers during
+    projective association — contiguous 32B rows amortise the fetch."""
+    HW = vmap.shape[1] * vmap.shape[2]
+    return jnp.concatenate(
+        [
+            vmap.reshape(3, -1),
+            nmap.reshape(3, -1),
+            jnp.zeros((2, HW), vmap.dtype),
+        ],
+        axis=0,
+    ).T
+
+
 def icp_step(
     cam: CameraIntrinsics,
     T_curr_to_prev: jnp.ndarray,  # (4,4) current estimate
@@ -51,11 +67,14 @@ def icp_step(
     nmap_prev: jnp.ndarray,  # (3,H,W) predicted normals
     dist_thresh: float = 0.10,
     angle_thresh_sin: float = math.sin(math.radians(20.0)),
+    packed_prev: jnp.ndarray | None = None,  # (H*W,8) from pack_maps
 ) -> GNSystem:
     """One point-to-plane ICP normal-equation build at one pyramid level.
 
     vmap_curr may hold only a row-block of the frame (multi-chip row
     sharding); association bounds come from the full target maps.
+    When packed_prev is given the association is a single row gather
+    (vmap_prev/nmap_prev still provide the target shape).
     """
     H, W = vmap_prev.shape[1:]
     R = T_curr_to_prev[:3, :3]
@@ -73,8 +92,13 @@ def icp_step(
     in_img = (s[2] > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
     idx = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
 
-    d = vmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, *idx.shape)
-    n = nmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, *idx.shape)
+    if packed_prev is not None:
+        rows = packed_prev[idx.reshape(-1)]  # (N,8) single row gather
+        d = jnp.moveaxis(rows[:, 0:3], -1, 0).reshape(3, *idx.shape)
+        n = jnp.moveaxis(rows[:, 3:6], -1, 0).reshape(3, *idx.shape)
+    else:
+        d = vmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, *idx.shape)
+        n = nmap_prev.reshape(3, -1)[:, idx.reshape(-1)].reshape(3, *idx.shape)
 
     finite = (
         jnp.isfinite(vmap_curr).all(axis=0)
@@ -143,6 +167,7 @@ def icp_solve_level(
     angle_thresh_sin: float = math.sin(math.radians(20.0)),
     min_inliers: float = 30.0,
     axis_name: str | None = None,
+    packed_prev: jnp.ndarray | None = None,
 ):
     """Run `iterations` GN steps at one level (ICPOdometry.cpp:98-179).
 
@@ -157,7 +182,7 @@ def icp_solve_level(
         T, _, _ = carry
         sys = icp_step(
             cam, T, vmap_curr, nmap_curr, vmap_prev, nmap_prev,
-            dist_thresh, angle_thresh_sin,
+            dist_thresh, angle_thresh_sin, packed_prev=packed_prev,
         )
         if axis_name is not None:
             sys = GNSystem(*[jax.lax.psum(x, axis_name) for x in sys])

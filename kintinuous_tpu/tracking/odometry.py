@@ -81,6 +81,8 @@ def icp_odometry(
     reference schedule convention (ICPOdometry.cpp:44-55).
     Returns (T_curr_to_prev, inlier_count_finest, residual_finest).
     """
+    from kintinuous_tpu.ops.reduce import pack_maps
+
     levels = len(curr_pyr)
     T = T_init if T_init is not None else jnp.eye(4, dtype=jnp.float32)
     sin_t = math.sin(math.radians(angle_thresh_deg))
@@ -92,8 +94,12 @@ def icp_odometry(
             continue
         vc, nc = curr_pyr[l]
         vp, np_ = pred_pyr[l]
+        # pack once per level; association inside the GN loop is then a
+        # single row gather per pixel per iteration
+        packed = pack_maps(vp, np_)
         T, count, residual = icp_solve_level(
-            cam.at_level(l), T, vc, nc, vp, np_, iters, dist_thresh, sin_t
+            cam.at_level(l), T, vc, nc, vp, np_, iters, dist_thresh, sin_t,
+            packed_prev=packed,
         )
     return T, count, residual
 

@@ -137,3 +137,57 @@ def test_engine_fast_batched_run(seq, tmp_path):
     save_trajectory_ply(str(tmp_path / "traj.ply"), engine.tracker.poses)
     stats = stats_panel(engine)
     assert stats["frames"] == 12
+
+
+def test_engine_loop_closure_e2e(tmp_path):
+    """Full -od path: PR keyframes -> BoW detection -> geometric
+    verification -> pose-graph loop factor accepted."""
+    import numpy as np
+    from kintinuous_tpu.config import tiny_test_config
+    from kintinuous_tpu.io.synth import Scene, generate_klg
+
+    # out-and-back trajectory: revisits the start after >0.15-motion steps
+    def pose_at(x):
+        T = np.eye(4)
+        T[0, 3] = x
+        return T
+
+    xs = [0.0, 0.35, 0.7, 1.0, 0.7, 0.35, 0.02]
+    poses = [pose_at(x) for x in xs]
+    # ORB needs images bigger than its 31px patch: use 160x120 here
+    from kintinuous_tpu.config import CameraIntrinsics
+
+    cam_pr = CameraIntrinsics(fx=140.0, fy=140.0, cx=80.0, cy=60.0, width=160, height=120)
+    path = str(tmp_path / "loop.klg")
+    gt = str(tmp_path / "loop.gt")
+    generate_klg(path, cam_pr, poses, fps=0.02, gt_path=gt)  # 50 s spacing
+
+    cfg = tiny_test_config(
+        camera=cam_pr, log_file=path, trajectory_file=gt, static_mode=True,
+        online_deformation=True, loop_throttle_s=0.0, pr_recent_window=2,
+        place_rec_motion_thresh=0.1,
+        save_file=str(tmp_path / "loopout"),
+    )
+    engine = SlamEngine(cfg).run()
+    assert engine.place_rec is not None
+    assert len(engine.place_rec.keyframes) >= 5
+    assert len(engine.place_rec.constraints) >= 1, "no loop detected"
+    assert engine.deformation.n_loops_accepted >= 1, "loop not accepted"
+    outs = engine.save()
+    est_s, est_p = load_trajectory(outs["poses"])
+    assert len(est_s) >= 2  # optimised trajectory written
+
+
+def test_fast_mode_mesh_save(seq, tmp_path):
+    path, gt, poses = seq
+    from kintinuous_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config(
+        camera=CAM, log_file=path, static_mode=True, fast_mode=True,
+        volume_resolution=64, voxel_shift=8, mesh=True,
+        total_num_frames=4, save_file=str(tmp_path / "fm"),
+    )
+    engine = SlamEngine(cfg).run()
+    outs = engine.save()
+    mesh = load_ply(outs["mesh"])
+    assert len(mesh["vertices"]) > 50 and len(mesh["faces"]) > 50

@@ -135,7 +135,7 @@ def test_band_cap_degrades_gracefully():
     vol, depth, rgb, disc, T = setup()
     vf = from_blocked(integrate_fast(
         to_blocked(vol), CAM, depth, rgb, disc, T, CFG.voxel_size, CFG.trunc_dist,
-        band_cap=16, cell=8, dilate=1,
+        band_cap=128, cell=8, dilate=1,
     ))
     # with a tiny cap most band blocks are skipped, but nothing crashes
     # and the free-space carve still happened
