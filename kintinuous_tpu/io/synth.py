@@ -68,20 +68,20 @@ class Scene:
 def _ray_box_interior(origins, dirs, bmin, bmax):
     """First positive hit with the box interior walls. Returns t (inf if none)."""
     t_best = np.full(dirs.shape[:-1], np.inf)
-    for axis in range(3):
-        for bound in (bmin[axis], bmax[axis]):
-            d = dirs[..., axis]
-            with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for axis in range(3):
+            for bound in (bmin[axis], bmax[axis]):
+                d = dirs[..., axis]
                 t = (bound - origins[..., axis]) / d
-            pt = origins + t[..., None] * dirs
-            ok = (t > 1e-6) & np.isfinite(t)
-            for other in range(3):
-                if other == axis:
-                    continue
-                ok &= (pt[..., other] >= bmin[other] - 1e-6) & (
-                    pt[..., other] <= bmax[other] + 1e-6
-                )
-            t_best = np.where(ok & (t < t_best), t, t_best)
+                pt = origins + np.nan_to_num(t, posinf=0.0, neginf=0.0)[..., None] * dirs
+                ok = (t > 1e-6) & np.isfinite(t)
+                for other in range(3):
+                    if other == axis:
+                        continue
+                    ok &= (pt[..., other] >= bmin[other] - 1e-6) & (
+                        pt[..., other] <= bmax[other] + 1e-6
+                    )
+                t_best = np.where(ok & (t < t_best), t, t_best)
     return t_best
 
 
@@ -98,10 +98,10 @@ def _ray_cuboid(origins, dirs, bmin, bmax):
     """First positive exterior hit with an AABB (slab method)."""
     with np.errstate(divide="ignore", invalid="ignore"):
         inv = 1.0 / dirs
-    t0 = (bmin - origins) * inv
-    t1 = (bmax - origins) * inv
-    tnear = np.nanmax(np.minimum(t0, t1), axis=-1)
-    tfar = np.nanmin(np.maximum(t0, t1), axis=-1)
+        t0 = (bmin - origins) * inv
+        t1 = (bmax - origins) * inv
+        tnear = np.nanmax(np.minimum(t0, t1), axis=-1)
+        tfar = np.nanmin(np.maximum(t0, t1), axis=-1)
     hit = (tnear <= tfar) & (tnear > 1e-6)
     return np.where(hit, tnear, np.inf)
 
