@@ -279,6 +279,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
     # schedule shifted one level: fast schedule (0,10,5,0) -> (10,5,0)
     base_iters = cfg.icp_fast_iterations if cfg.fast_odometry else cfg.icp_iterations
     iters = tuple(base_iters[1:]) if len(base_iters) > 1 else (10, 5)
+    use_rgbd = cfg.rgbd_odometry or cfg.icp_plus_rgbd
 
     def empty_slices():
         e = ExtractResult(
@@ -300,6 +301,13 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
         depth_m = pp.depth_to_metres(filtered_mm, cfg.max_depth)
         depth_half = pp.pyr_down_depth(depth_m, sigma=0.09)
         curr_pyr = build_map_pyramid(cam_half, depth_half, levels)
+        if use_rgbd:
+            from kintinuous_tpu.ops.rgbd import build_rgbd_pyramid
+
+            intensity_half = pp.pyr_down_gauss(pp.rgb_to_intensity(rgb))
+            curr_rgbd = build_rgbd_pyramid(intensity_half, depth_half, levels)
+        else:
+            curr_rgbd = None
 
         if use_odometry:
             Tinv = se3.inverse(state.pred_pose)
@@ -307,10 +315,23 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             pv = jnp.einsum("ij,jhw->ihw", Rm, state.pred_vmap) + tm[:, None, None]
             pn = jnp.einsum("ij,jhw->ihw", Rm, state.pred_nmap)
             pred_pyr = pyramid_from_maps(pv, pn, levels)
-            delta, icp_count, icp_res = icp_odometry(
-                cam_half, curr_pyr, pred_pyr, iters,
-                cfg.icp_dist_thresh, cfg.icp_angle_thresh_deg,
-            )
+            if use_rgbd:
+                from kintinuous_tpu.ops.rgbd import rgbd_icp_odometry
+
+                delta, icp_count, icp_res = rgbd_icp_odometry(
+                    cam_half, curr_pyr, curr_rgbd, state.rgbd,
+                    pred_pyr if (cfg.icp_plus_rgbd and not cfg.frame_to_frame_rgbd) else None,
+                    iters,
+                    icp_weight=cfg.rgbd_icp_weight,
+                    dist_thresh=cfg.icp_dist_thresh,
+                    angle_thresh_deg=cfg.icp_angle_thresh_deg,
+                    jump_reject_m=cfg.rgbd_jump_reject,
+                )
+            else:
+                delta, icp_count, icp_res = icp_odometry(
+                    cam_half, curr_pyr, pred_pyr, iters,
+                    cfg.icp_dist_thresh, cfg.icp_angle_thresh_deg,
+                )
         else:
             delta = ext_delta
             icp_count = jnp.float32(0.0)
@@ -405,7 +426,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
         pose_global = pose.at[:3, 3].add(vol.origin)
         new_state = TrackerState(
             vol=vol, pose=pose, pred_vmap=rc.vmap, pred_nmap=rc.nmap,
-            pred_pose=pose, frame=state.frame + 1, rgbd=None,
+            pred_pose=pose, frame=state.frame + 1, rgbd=curr_rgbd,
         )
         out = StepOutputs(
             pose_local=pose, pose_global=pose_global, shift=shift,
@@ -499,10 +520,14 @@ class Tracker:
         if cfg.rgbd_odometry or cfg.icp_plus_rgbd:
             from kintinuous_tpu.ops.rgbd import build_rgbd_pyramid
 
+            init_levels = (
+                max(2, cfg.pyramid_levels - 1) if cfg.fast_mode
+                else cfg.pyramid_levels
+            )
             init_rgbd = build_rgbd_pyramid(
                 jnp.zeros((H, W), jnp.float32),
                 jnp.zeros((H, W), jnp.float32),
-                cfg.pyramid_levels,
+                init_levels,
             )
         else:
             init_rgbd = None

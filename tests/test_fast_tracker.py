@@ -120,3 +120,29 @@ def test_batched_shifting_slices():
     n_shifts = sum(1 for s in tr.shift_log if s[0] > 0)
     assert n_shifts >= 3
     assert any(s.dimension == "XPlus" for s in tr.slices)
+
+
+def test_fast_tracker_rgbd_mode():
+    """Fast path with fused ICP+RGB-D odometry (-ri equivalent)."""
+    cfg = fast_cfg(static_mode=True, icp_plus_rgbd=True)
+    poses = orbit_trajectory(10, radius=0.10, angle_deg=5.0)
+    tracker = run(cfg, poses)
+    ate = ate_of(tracker, poses)
+    assert ate < 0.04, f"fast RGB-D+ICP ATE {ate*100:.1f} cm"
+
+
+def test_fast_tracker_rgbd_batched():
+    cfg = fast_cfg(static_mode=True, icp_plus_rgbd=True)
+    poses = orbit_trajectory(9, radius=0.1, angle_deg=5.0)
+    frames = [render_frame(Scene.default(), CAM, T) for T in poses]
+    tr = Tracker(cfg)
+    tr.process_frames(
+        [(d, c, int(i * 1e6 / 30)) for i, (d, c) in enumerate(frames)]
+    )
+    stamps = np.arange(len(poses)) / 30.0
+    ate, n = absolute_trajectory_error(
+        stamps, np.array(poses), np.array(tr.stamps_us) / 1e6,
+        np.array(tr.poses),
+    )
+    assert n == len(poses)
+    assert ate < 0.04
