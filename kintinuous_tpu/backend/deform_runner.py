@@ -42,6 +42,7 @@ class MapDeformation:
             k=cfg.deformation_k, sample_dist=cfg.dense_sampling_rate
         )
         self.slices: List[CloudSlice] = []
+        self.mesh_patches: List = []  # MeshPatch records (incremental mesh)
         self._last_time: Optional[int] = None
         self._last_pose: Optional[np.ndarray] = None
         self._last_node_pos: Optional[np.ndarray] = None
@@ -73,6 +74,11 @@ class MapDeformation:
     def add_slice(self, sl: CloudSlice) -> None:
         assert sl.processed is not None, "run SliceProcessor first"
         self.slices.append(sl)
+
+    def add_mesh_patch(self, patch) -> None:
+        """Incremental-mesh growth: device-triangulated band patches
+        (the role of UGP3::updateMesh, UGP3.cpp:1680+)."""
+        self.mesh_patches.append(patch)
 
     # ------------------------------------------------------------ loops
     def add_loop(self, c: LoopConstraint) -> bool:
@@ -120,6 +126,7 @@ class MapDeformation:
             b = self.dgraph.bind(src, vt)
             self.dgraph.optimise(src, dst, b, iters=10)
             self._apply_to_slices()
+            self._apply_to_mesh()
         self._rewrite_slice_poses()
         self.n_loops_accepted += 1
         return True
@@ -142,6 +149,17 @@ class MapDeformation:
             b = self.dgraph.bind(pts.astype(np.float64), vt)
             sl.processed["points"] = self.dgraph.apply(pts, b).astype(np.float32)
 
+    def _apply_to_mesh(self) -> None:
+        """Rewrite mesh-patch vertex positions after a deformation pass
+        without retriangulating — the role of UGP3::updatePoints
+        (UGP3.cpp:1667-1677)."""
+        for p in self.mesh_patches:
+            if len(p.vertices) == 0:
+                continue
+            vt = np.full(len(p.vertices), p.timestamp_us)
+            b = self.dgraph.bind(p.vertices.astype(np.float64), vt)
+            p.vertices = self.dgraph.apply(p.vertices, b).astype(np.float32)
+
     def _rewrite_slice_poses(self) -> None:
         """(:556-580) slice poses refreshed from the optimised graph."""
         for sl in self.slices:
@@ -154,6 +172,16 @@ class MapDeformation:
         ts = np.asarray(self.graph.times)
         order = np.argsort(ts)
         return ts[order], [self.graph.poses[k] for k in order]
+
+    def save_mesh(self, path: str) -> int:
+        """Merged deformed incremental mesh -> .ply (the role of
+        Deformation::saveMesh, Deformation.cpp:67-101)."""
+        from kintinuous_tpu.backend.meshing import MeshCollector
+
+        mc = MeshCollector()
+        for p in self.mesh_patches:
+            mc.add(p)
+        return mc.save(path)
 
     def save_cloud(self, path: str) -> int:
         parts = [s.processed for s in self.slices if s.processed is not None]

@@ -100,6 +100,9 @@ class KintinuousConfig:
     shift_overlap: int = 3  # extra band voxels extracted on shift
     dynamic_cube: bool = False
     extraction_capacity: int = 1_000_000  # points per fetch (ref caps 10M)
+    # incremental-mesh band patches (surface-nets cells ~= extracted points)
+    mesh_vertex_capacity: int = 400_000
+    mesh_face_capacity: int = 800_000
 
     # --- odometry ---
     rgbd_odometry: bool = False

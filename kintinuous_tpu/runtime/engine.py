@@ -85,7 +85,14 @@ class SlamEngine:
         self.place_rec = (
             PlaceRecognition(cfg) if cfg.online_deformation else None
         )
-        self.tracker = Tracker(cfg, slice_callback=self.slice_q.put)
+        mesh_cb = (
+            self.deformation.add_mesh_patch
+            if (self.deformation is not None and cfg.incremental_mesh)
+            else None
+        )
+        self.tracker = Tracker(
+            cfg, slice_callback=self.slice_q.put, mesh_callback=mesh_cb
+        )
         self.workers: List[Worker] = []
         self._end_of_log = threading.Event()
         self._last_kf_pose: Optional[np.ndarray] = None
@@ -370,8 +377,18 @@ class SlamEngine:
         if self.cfg.mesh:
             from kintinuous_tpu.backend.meshing import save_volume_mesh
 
-            out["mesh"] = f"{base}.ply"
-            save_volume_mesh(out["mesh"], self.tracker, self.cfg)
+            if (
+                self.cfg.incremental_mesh
+                and self.deformation is not None
+                and self.deformation.n_loops_accepted
+                and self.deformation.mesh_patches
+            ):
+                # deformed incremental mesh (Deformation::saveMesh)
+                out["mesh"] = f"{base}_opt.ply"
+                self.deformation.save_mesh(out["mesh"])
+            else:
+                out["mesh"] = f"{base}.ply"
+                save_volume_mesh(out["mesh"], self.tracker, self.cfg)
         return out
 
     def reset(self):

@@ -39,6 +39,7 @@ from kintinuous_tpu.geometry import se3
 from kintinuous_tpu.ops import preprocess as pp
 from kintinuous_tpu.ops.extract import ExtractResult, extract_points
 from kintinuous_tpu.ops.raycast import raycast
+from kintinuous_tpu.ops.surface_nets import MeshResult, extract_mesh
 from kintinuous_tpu.ops.tsdf import VolumeState, integrate, make_volume
 from kintinuous_tpu.tracking.odometry import (
     build_map_pyramid,
@@ -65,6 +66,44 @@ class StepOutputs(NamedTuple):
     icp_count: jnp.ndarray  # () f32 inliers at finest solved level
     icp_residual: jnp.ndarray  # () f32
     raycast_hits: jnp.ndarray  # () f32 pixels with a predicted surface
+    mesh_patches: Tuple = ()  # per-axis MeshResult when incremental_mesh
+
+
+def _empty_mesh(vcap: int, fcap: int) -> MeshResult:
+    return MeshResult(
+        vertices=jnp.zeros((vcap, 3), jnp.float32),
+        colors=jnp.zeros((vcap, 3), jnp.float32),
+        faces=jnp.zeros((fcap, 3), jnp.int32),
+        n_vertices=jnp.int32(0),
+        n_faces=jnp.int32(0),
+    )
+
+
+def _band_mesh_patches(cfg, dense_vol, shift):
+    """Per-axis surface-nets mesh of the departing band under the shift
+    cond — the device-side 'incremental mesh growth' (the reference
+    grows a host triangulation instead, UGP3.cpp:1680+)."""
+    R = cfg.volume_resolution
+    S = cfg.voxel_shift
+    OV = cfg.shift_overlap
+    vcap, fcap = cfg.mesh_vertex_capacity, cfg.mesh_face_capacity
+
+    def one(axis, size_xyz):
+        s = shift[axis]
+
+        def ex(_):
+            lo = jnp.zeros(3, jnp.int32)
+            lo = lo.at[axis].set(jnp.where(s > 0, 0, R - S - OV))
+            return extract_mesh(dense_vol, lo, size_xyz, cfg.voxel_size,
+                                vcap, fcap)
+
+        return jax.lax.cond(s != 0, ex, lambda _: _empty_mesh(vcap, fcap), 0)
+
+    return (
+        one(0, (S + OV, R, R)),
+        one(1, (R, S + OV, R)),
+        one(2, (R, R, S + OV)),
+    )
 
 
 @dataclass
@@ -152,6 +191,10 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
 
         # --- volume shift (KintinuousTracker.cpp:675-831) ---
         vol = state.vol
+        mesh_patches = ()
+        if cfg.incremental_mesh:
+            _e = _empty_mesh(cfg.mesh_vertex_capacity, cfg.mesh_face_capacity)
+            mesh_patches = (_e, _e, _e)
         if cfg.static_mode:
             shift = jnp.zeros(3, jnp.int32)
             empty = ExtractResult(
@@ -190,6 +233,8 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
             sy = axis_slice(1, (R, S + OV, R))
             sz = axis_slice(2, (R, R, S + OV))
             slices = (sx, sy, sz)
+            if cfg.incremental_mesh:
+                mesh_patches = _band_mesh_patches(cfg, vol, shift)
 
             # clear the recycled bands — one fused masked pass over the
             # volume for all three axes (vs. 12 dedicated CUDA kernels,
@@ -246,6 +291,7 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
             icp_count=icp_count,
             icp_residual=icp_res,
             raycast_hits=(rc.depth > 0).sum().astype(jnp.float32),
+            mesh_patches=mesh_patches,
         )
         return new_state, out
 
@@ -340,6 +386,10 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
         pose = state.pose @ delta
         vol = state.vol
 
+        mesh_patches = ()
+        if cfg.incremental_mesh:
+            _e = _empty_mesh(cfg.mesh_vertex_capacity, cfg.mesh_face_capacity)
+            mesh_patches = (_e, _e, _e)
         if cfg.static_mode:
             shift = jnp.zeros(3, jnp.int32)
             slices = empty_slices()
@@ -371,14 +421,24 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
 
                     return jax.lax.cond(s != 0, ex, no, 0)
 
-                return (
+                out = (
                     one(0, (S + OV, R, R)),
                     one(1, (R, S + OV, R)),
                     one(2, (R, R, S + OV)),
                 )
+                if cfg.incremental_mesh:
+                    return out, _band_mesh_patches(cfg, dense_view, shift)
+                return out, ()
 
-            slices = jax.lax.cond(
-                shift_any, do_slices, lambda _: empty_slices(), vol
+            def no_slices(_):
+                if cfg.incremental_mesh:
+                    vc, fc = cfg.mesh_vertex_capacity, cfg.mesh_face_capacity
+                    e = _empty_mesh(vc, fc)
+                    return empty_slices(), (e, e, e)
+                return empty_slices(), ()
+
+            slices, mesh_patches = jax.lax.cond(
+                shift_any, do_slices, no_slices, vol
             )
 
             def do_clear(v):
@@ -432,6 +492,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             pose_local=pose, pose_global=pose_global, shift=shift,
             slices=slices, icp_count=icp_count, icp_residual=icp_res,
             raycast_hits=(rc.depth > 0).sum().astype(jnp.float32),
+            mesh_patches=mesh_patches,
         )
         return new_state, out
 
@@ -452,11 +513,17 @@ def make_batched_step_fast(cfg: KintinuousConfig, use_odometry: bool, batch: int
     _, core = make_step_fast(cfg, use_odometry)
     empty = core._empty_slices
 
+    def empty_meshes():
+        if not cfg.incremental_mesh:
+            return ()
+        e = _empty_mesh(cfg.mesh_vertex_capacity, cfg.mesh_face_capacity)
+        return (e, e, e)
+
     def batched(state, depths, rgbs, deltas):
         B = depths.shape[0]
 
         def body(carry, inp):
-            st, acc, accf = carry
+            st, acc, accm, accf = carry
             d, c, dl, idx = inp
             st, out = core(st, d, c, dl)
 
@@ -466,22 +533,30 @@ def make_batched_step_fast(cfg: KintinuousConfig, use_odometry: bool, batch: int
                     lambda n, o: jnp.where(s != 0, n, o),
                     out.slices[axis], acc[axis],
                 )
-                return newacc, jnp.where(s != 0, idx, accf[axis])
+                if cfg.incremental_mesh:
+                    newmesh = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(s != 0, n, o),
+                        out.mesh_patches[axis], accm[axis],
+                    )
+                else:
+                    newmesh = ()
+                return newacc, newmesh, jnp.where(s != 0, idx, accf[axis])
 
-            pairs = [sel(a) for a in range(3)]
-            acc = tuple(p[0] for p in pairs)
-            accf = jnp.stack([p[1] for p in pairs])
+            triples = [sel(a) for a in range(3)]
+            acc = tuple(p[0] for p in triples)
+            accm = tuple(p[1] for p in triples) if cfg.incremental_mesh else ()
+            accf = jnp.stack([p[2] for p in triples])
             y = (
                 out.pose_global, out.shift, out.icp_count,
                 out.icp_residual, out.raycast_hits,
             )
-            return (st, acc, accf), y
+            return (st, acc, accm, accf), y
 
-        init = (state, empty(), jnp.full((3,), -1, jnp.int32))
-        (state, acc, accf), ys = jax.lax.scan(
+        init = (state, empty(), empty_meshes(), jnp.full((3,), -1, jnp.int32))
+        (state, acc, accm, accf), ys = jax.lax.scan(
             body, init, (depths, rgbs, deltas, jnp.arange(B, dtype=jnp.int32))
         )
-        return state, ys, acc, accf
+        return state, ys, acc, accm, accf
 
     return jax.jit(batched, donate_argnums=(0,))
 
@@ -502,7 +577,8 @@ class Tracker:
     """
 
     def __init__(self, cfg: KintinuousConfig,
-                 slice_callback: Optional[Callable[[CloudSlice], None]] = None):
+                 slice_callback: Optional[Callable[[CloudSlice], None]] = None,
+                 mesh_callback: Optional[Callable] = None):
         self.cfg = cfg
         if cfg.fast_mode:
             self._step_odom = make_step_fast(cfg, use_odometry=True)[0]
@@ -549,9 +625,11 @@ class Tracker:
         )
         self._pending: deque = deque()  # (out, timestamp_us, frame_idx)
         self.slices: List[CloudSlice] = []
+        self.mesh_patches: List = []  # host MeshPatch records (incremental mesh)
         self.poses: List[np.ndarray] = []  # global poses per frame
         self.stamps_us: List[int] = []
         self.slice_callback = slice_callback
+        self.mesh_callback = mesh_callback
         self._frame_idx = 0
         self.stats = {"icp_count": [], "icp_residual": []}
         self.shift_log: List[np.ndarray] = []  # per-frame (3,) voxel shifts
@@ -644,7 +722,7 @@ class Tracker:
                 self.cfg, use_odometry=True, batch=B
             )
         deltas = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
-        self.state, ys, acc, accf = self._batched[B](
+        self.state, ys, acc, accm, accf = self._batched[B](
             self.state, depths_j, rgbs_j, jnp.asarray(deltas)
         )
         poses_g, shifts, counts, resids, hits = jax.device_get(
@@ -679,6 +757,24 @@ class Tracker:
             self.slices.append(sl)
             if self.slice_callback:
                 self.slice_callback(sl)
+            if self.cfg.incremental_mesh:
+                self._take_mesh_patch(accm[axis], ts_list[fidx])
+
+    def _take_mesh_patch(self, res, timestamp_us: int) -> None:
+        from kintinuous_tpu.backend.meshing import MeshPatch
+
+        nv, nf = int(res.n_vertices), int(res.n_faces)
+        if nv == 0 or nf == 0:
+            return
+        patch = MeshPatch(
+            vertices=np.asarray(res.vertices[:nv]),
+            colors=np.clip(np.asarray(res.colors[:nv]), 0, 255).astype(np.uint8),
+            faces=np.asarray(res.faces[:nf]),
+            timestamp_us=timestamp_us,
+        )
+        self.mesh_patches.append(patch)
+        if self.mesh_callback:
+            self.mesh_callback(patch)
 
     def flush(self) -> None:
         while self._pending:
@@ -712,6 +808,8 @@ class Tracker:
             self.slices.append(sl)
             if self.slice_callback:
                 self.slice_callback(sl)
+            if self.cfg.incremental_mesh and out.mesh_patches:
+                self._take_mesh_patch(out.mesh_patches[axis], timestamp_us)
 
     # ------------------------------------------------------------------
     def finalise(self) -> CloudSlice:
@@ -750,6 +848,14 @@ class Tracker:
         self.slices.append(sl)
         if self.slice_callback:
             self.slice_callback(sl)
+        if self.cfg.incremental_mesh:
+            mres = jax.jit(
+                lambda v: extract_mesh(
+                    v, jnp.zeros(3, jnp.int32), (R, R, R), cfg.voxel_size,
+                    cfg.mesh_vertex_capacity, cfg.mesh_face_capacity,
+                )
+            )(vol)
+            self._take_mesh_patch(mres, ts)
         return sl
 
     @property

@@ -1,0 +1,152 @@
+"""Incremental meshing: device-side band patches + deformation rewrite.
+
+TPU-native replacement for the reference's UGP3 incremental greedy
+triangulation (src/backend/IncrementalMesh.cpp, UGP3.cpp): each shifted-
+out band is surface-nets-meshed on device inside the tracking step; loop
+closures rewrite patch vertices through the deformation graph without
+retriangulating (UGP3::updatePoints, UGP3.cpp:1667-1677).
+"""
+
+import numpy as np
+
+from kintinuous_tpu.config import CameraIntrinsics, tiny_test_config
+from kintinuous_tpu.io.synth import Scene, render_frame, straight_trajectory
+from kintinuous_tpu.tracking.tracker import Tracker
+
+CAM = CameraIntrinsics(fx=140.0, fy=140.0, cx=80.0, cy=60.0, width=160, height=120)
+
+
+def cfg_incr(**kw):
+    base = dict(
+        camera=CAM,
+        volume_size=3.0,
+        volume_resolution=128,
+        fast_mode=True,
+        voxel_shift=8,
+        pyramid_levels=4,
+        icp_iterations=(0, 10, 5, 0),
+        bilateral_radius=2,
+        extraction_capacity=200_000,
+        band_cap=2048,
+        mesh=True,
+        online_deformation=True,
+        mesh_vertex_capacity=100_000,
+        mesh_face_capacity=200_000,
+    )
+    base.update(kw)
+    return tiny_test_config(**base)
+
+
+def run_straight(cfg, n=25, batched=False):
+    poses = straight_trajectory(n, distance=1.0, axis=0)
+    frames = [render_frame(Scene.default(), CAM, T) for T in poses]
+    tracker = Tracker(cfg)
+    items = []
+    last = None
+    for i, T in enumerate(poses):
+        delta = (
+            np.linalg.inv(last) @ T if last is not None else np.eye(4)
+        ).astype(np.float32)
+        items.append((frames[i][0], frames[i][1], int(i * 1e6 / 30), delta))
+        last = T
+    if batched:
+        # batched path runs odometry internally; feed via process_frames
+        tracker.process_frames([(d, c, ts) for d, c, ts, _ in items])
+    else:
+        for d, c, ts, delta in items:
+            tracker.process_frame(d, c, ts, ext_delta=delta)
+        tracker.flush()
+    return tracker
+
+
+def test_band_patches_emitted():
+    cfg = cfg_incr()
+    tracker = run_straight(cfg)
+    # not every shift band contains surface (regions behind the camera
+    # were never observed -> empty patches are skipped)
+    assert len(tracker.mesh_patches) >= 2
+    for p in tracker.mesh_patches:
+        assert len(p.vertices) > 0 and len(p.faces) > 0
+        assert np.isfinite(p.vertices).all()
+        assert p.faces.max() < len(p.vertices)
+
+
+def test_band_patches_near_slice_points():
+    """Mesh-patch vertices should lie on the same surface as the
+    extracted slice points (both come from the departing band)."""
+    cfg = cfg_incr()
+    tracker = run_straight(cfg)
+    sl = next(s for s in tracker.slices if s.dimension.startswith("X"))
+    patch = tracker.mesh_patches[0]
+    # compare bounding boxes along the shift axis
+    lo_s, hi_s = sl.points[:, 0].min(), sl.points[:, 0].max()
+    lo_m, hi_m = patch.vertices[:, 0].min(), patch.vertices[:, 0].max()
+    assert abs(lo_s - lo_m) < 0.15 and abs(hi_s - hi_m) < 0.15
+
+
+def test_final_patch_on_finalise():
+    cfg = cfg_incr()
+    tracker = run_straight(cfg, n=10)
+    n_before = len(tracker.mesh_patches)
+    tracker.finalise()
+    assert len(tracker.mesh_patches) == n_before + 1
+
+
+def test_batched_emits_patches():
+    cfg = cfg_incr()
+    tracker = run_straight(cfg, batched=True)
+    assert len(tracker.mesh_patches) >= 1
+    for p in tracker.mesh_patches:
+        assert p.faces.max() < len(p.vertices)
+
+
+def test_deformation_rewrites_mesh_vertices():
+    from kintinuous_tpu.backend.deform_runner import MapDeformation
+    from kintinuous_tpu.backend.meshing import MeshPatch
+
+    cfg = cfg_incr(fast_loops=False, dense_sampling_rate=0.15)
+    md = MapDeformation(cfg)
+    rng = np.random.default_rng(0)
+    # straight trajectory of poses feeding graph nodes
+    n = 12
+    for i in range(n):
+        T = np.eye(4)
+        T[0, 3] = i * 0.2
+        md.add_frame_pose(i * 100000, T)
+    patch = MeshPatch(
+        vertices=rng.uniform(0, 2.0, (500, 3)).astype(np.float32),
+        colors=np.zeros((500, 3), np.uint8),
+        faces=np.zeros((2, 3), np.int32),
+        timestamp_us=5 * 100000,
+    )
+    md.add_mesh_patch(patch)
+    before = patch.vertices.copy()
+    # synthetic loop: translate all node targets by 5 cm in y
+    src = np.array([[i * 0.2, 0, 0] for i in range(n)], np.float64)
+    dst = src + np.array([0.0, 0.05, 0.0])
+    b = md.dgraph.bind(src, np.arange(n) * 100000)
+    md.dgraph.optimise(src, dst, b, iters=10)
+    md._apply_to_mesh()
+    moved = np.linalg.norm(patch.vertices - before, axis=1)
+    assert moved.mean() > 0.01  # vertices actually moved
+    assert np.isfinite(patch.vertices).all()
+
+
+def test_engine_saves_incremental_mesh(tmp_path):
+    """Engine save path picks the deformed mesh when loops were accepted."""
+    from kintinuous_tpu.backend.deform_runner import MapDeformation
+    from kintinuous_tpu.backend.meshing import MeshPatch
+
+    cfg = cfg_incr()
+    md = MapDeformation(cfg)
+    md.n_loops_accepted = 1
+    md.add_mesh_patch(
+        MeshPatch(
+            vertices=np.zeros((4, 3), np.float32),
+            colors=np.zeros((4, 3), np.uint8),
+            faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        )
+    )
+    out = tmp_path / "m_opt.ply"
+    n = md.save_mesh(str(out))
+    assert n == 4 and out.exists()
