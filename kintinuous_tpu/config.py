@@ -92,7 +92,13 @@ class KintinuousConfig:
     # --- fast path (TPU production mode) ---
     # block-classified sparse integration + warm-started half-res raycast
     fast_mode: bool = False
-    band_cap: int = 12288  # max band blocks per frame in fast integrate
+    # max band blocks per frame in fast integrate; one camera view covers
+    # at most ~5k surface blocks at 512^3 (each block spans >=8x8 px), so
+    # 8192 keeps headroom while the cap sets the static gather width
+    band_cap: int = 8192
+    # Pallas TPU kernels (None = auto: on when running on TPU). The
+    # XLA fast path remains as the CPU/test implementation.
+    pallas: Optional[bool] = None
 
     # --- shifting ---
     static_mode: bool = False

@@ -1,0 +1,559 @@
+"""Pallas TPU raycast: gather-free tile raycasting on the MXU.
+
+The XLA fast path (ops/raycast_fast.py) is bound by scalar HBM gathers
+(~15 taps/pixel at ~5-7ns each). This kernel removes gathers entirely:
+
+  - the frame's TSDF is laid out as a dense LOGICAL (R,R,R) bf16 array
+    (blocked->dense + un-wrap roll, one bandwidth pass per frame);
+  - pixels are processed in 16x16 tiles; each tile DMAs one
+    (RZ,RY,RX) voxel region around its warm-start depth segment into
+    VMEM (tile rays are coherent: the region covers every tap of every
+    pixel in the tile for any camera orientation);
+  - every trilinear tap for all 256 pixels of a tile is evaluated as a
+    separable two-hot contraction: one (RZ*RY, RX) @ (RX, 256) MXU
+    matmul collapses x, tiny VPU contractions collapse y and z. The
+    same machinery yields analytic gradients (derivative weights) for
+    Newton refinement and surface normals.
+
+Per half-res frame this is ~230 GMAC on the MXU + ~0.4 GB of tile DMA —
+roughly 2 ms of hardware time vs ~25-45 ms for the gather path.
+
+Pixels whose taps leave their tile's region (depth discontinuities far
+from the tile median, missing warm start) fall back to measurement-
+derived vertex/normal maps computed in XLA (the warm start IS the
+measurement, so this is the same surface estimate minus model fusion).
+
+Reference behaviour being replaced: src/frontend/cuda/ray_caster.cu
+:298-425 (per-pixel march + trilinear refine + gradient normals).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kintinuous_tpu.config import CameraIntrinsics
+from kintinuous_tpu.ops.blocked import BLOCK, BlockedVolume, blocked_to_dense, flat_index
+from kintinuous_tpu.ops.raycast_fast import FastRaycastResult
+from kintinuous_tpu.ops.tsdf import unpack_cw
+
+TILE = 16  # pixel tile edge
+
+
+def _region_extents(R: int) -> Tuple[int, int, int]:
+    """Static VMEM region size (z,y,x) for volume resolution R.
+
+    x is the lane dimension: HBM slices must start at multiples of 128
+    there, so the x extent is 256 — any <=120-voxel x-range then fits a
+    128-aligned window wherever it lands."""
+    return min(48, R), min(48, R), min(256, R)
+
+
+def _deblock_kernel(in_ref, s_ref, e_ref, out_ref, *, byh: int, B: int):
+    """Blocked rows -> dense slab via selection-matrix matmuls.
+
+    XLA's 6D transpose for blocked->dense costs ~24 ms at 512^3 (it
+    relayouts scalar-ish); expressing the shuffle as two one-hot MXU
+    matmuls per x-offset runs at ~4 ms. out[dz, (by,dy), (bx,dx)] =
+    in[(by,bx), (dz,dy,dx)]:
+      M_dx[by,bx,k]   = sum_cell in[by,bx,cell] * S_dx[cell,k]
+      out_dx[by,k,c]  = sum_bx  M_dx[by,bx,k]  * E_dx[bx,c]
+    with S/E exact one-hots (bf16 one-hot matmul preserves bf16 values).
+    """
+    x = in_ref[:].astype(jnp.bfloat16)
+    xb = x.reshape(byh, B, 512)  # [by, bx, cell]
+    acc = jnp.zeros((byh, 64, B * 8), jnp.float32)  # [by, k=(dz,dy), x]
+    for dx in range(8):
+        M = jax.lax.dot_general(
+            xb, s_ref[dx], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part = jax.lax.dot_general(
+            M.astype(jnp.bfloat16), e_ref[dx], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + part
+    a4 = acc.reshape(byh, 8, 8, B * 8)  # [by, dz, dy, x]
+    out = a4.transpose(1, 0, 2, 3).reshape(8, byh * 8, B * 8)
+    out_ref[:] = out.astype(jnp.bfloat16)
+
+
+def _build_sel(B: int):
+    import numpy as _np
+
+    k = _np.arange(64)
+    S = _np.zeros((8, 512, 64), _np.float32)
+    E = _np.zeros((8, B, B * 8), _np.float32)
+    bx = _np.arange(B)
+    for dx in range(8):
+        S[dx, k * 8 + dx, k] = 1.0
+        E[dx, bx, bx * 8 + dx] = 1.0
+    return (jnp.asarray(S, jnp.bfloat16), jnp.asarray(E, jnp.bfloat16))
+
+
+def build_logical_bf16(
+    vol: BlockedVolume, R: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Blocked (B^3,512) f32 -> dense LOGICAL (R,R,R) bf16.
+
+    Requires vol.wrap == 0: the fast tracker keeps the window wrap-free
+    by physically rolling the blocked volume on (rare) shift frames, so
+    logical == physical and volume edges are true edges."""
+    B = R // BLOCK
+    byh = min(16, B)
+    S, E = _build_sel(B)
+    out = pl.pallas_call(
+        functools.partial(_deblock_kernel, byh=byh, B=B),
+        grid=(B, B // byh),
+        in_specs=[
+            pl.BlockSpec(
+                (byh * B, 512),
+                lambda bz, i, _nb=B // byh: (bz * _nb + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, byh * 8, R), lambda bz, i: (bz, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, R, R), jnp.bfloat16),
+        interpret=interpret,
+    )(vol.tsdf, S, E)
+    return out
+
+
+def _raycast_kernel(
+    # scalar prefetch
+    corners_ref,  # (T,4) i32: z0,y0,x0, valid
+    params_ref,  # (24,) f32
+    # inputs
+    vol_ref,  # (R,R,R) bf16 in HBM
+    warm_ref,  # (8,128) f32 tile-major block; rows 0-1 hold the 256 px
+    # outputs (same tile-major packing)
+    t_ref, found_ref, gx_ref, gy_ref, gz_ref,
+    # scratch
+    vreg, sem,
+    *, ntx: int, ext: Tuple[int, int, int], window: int,
+    step: float, trunc: float,
+):
+    EZ, EY, EX = ext
+    i = pl.program_id(0)
+    # offsets are aligned by the corner computation; the hints let
+    # Mosaic prove the HBM slice respects the (8,128) bf16 tiling
+    z0 = pl.multiple_of(corners_ref[i, 0], 8)
+    y0 = pl.multiple_of(corners_ref[i, 1], 8)
+    x0 = pl.multiple_of(corners_ref[i, 2], 128)
+    valid_tile = corners_ref[i, 3] > 0
+
+    ox = params_ref[0]
+    oy = params_ref[1]
+    oz = params_ref[2]
+    inv_vsz = params_ref[3]
+    fx = params_ref[4]
+    fy = params_ref[5]
+    cx = params_ref[6]
+    cy = params_ref[7]
+    # rotation, row-major
+    r00, r01, r02 = params_ref[8], params_ref[9], params_ref[10]
+    r10, r11, r12 = params_ref[11], params_ref[12], params_ref[13]
+    r20, r21, r22 = params_ref[14], params_ref[15], params_ref[16]
+
+    zero8 = jnp.zeros((8, 128), jnp.float32)
+    t_ref[:] = zero8
+    found_ref[:] = zero8
+    gx_ref[:] = zero8
+    gy_ref[:] = zero8
+    gz_ref[:] = zero8
+
+    @pl.when(valid_tile)
+    def _():
+        dma = pltpu.make_async_copy(
+            vol_ref.at[pl.ds(z0, EZ), pl.ds(y0, EY), pl.ds(x0, EX)],
+            vreg, sem,
+        )
+        dma.start()
+        dma.wait()
+        Vflat = vreg[:].reshape(EZ * EY, EX)  # bf16
+
+        # lanes = 128 pixels; the 256-px tile is two half-tiles (Mosaic
+        # does not lane-reshape 256 <-> 2x128, so never materialise 256)
+        P = 128
+        ty = i // ntx
+        tx = i % ntx
+        iota_x = jax.lax.broadcasted_iota(jnp.int32, (EX, P), 0)
+        iota_y = jax.lax.broadcasted_iota(jnp.int32, (EY, P), 0)
+        iota_z = jax.lax.broadcasted_iota(jnp.int32, (EZ, P), 0)
+        x0f = (x0).astype(jnp.float32)
+        y0f = (y0).astype(jnp.float32)
+        z0f = (z0).astype(jnp.float32)
+
+        for hp in range(2):
+            p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) + hp * P
+            u = (tx * TILE + (p % TILE)).astype(jnp.float32)
+            v = (ty * TILE + (p // TILE)).astype(jnp.float32)
+            rxc = (u - cx) / fx
+            ryc = (v - cy) / fy
+            dxx = r00 * rxc + r01 * ryc + r02
+            dyy = r10 * rxc + r11 * ryc + r12
+            dzz = r20 * rxc + r21 * ryc + r22
+            inv_n = jax.lax.rsqrt(dxx * dxx + dyy * dyy + dzz * dzz)
+            dnx, dny, dnz = dxx * inv_n, dyy * inv_n, dzz * inv_n
+
+            warm = warm_ref[hp : hp + 1, :]  # (1,128)
+            has_warm = warm > 0.0
+            t0 = warm - (window // 2) * step
+
+            def tap(t, want_grad):
+                """Trilinear value (+ optional gradient) at o + t*dn.
+                All arrays (1,P)."""
+                vx = (ox + t * dnx) * inv_vsz - 0.5 - x0f
+                vy = (oy + t * dny) * inv_vsz - 0.5 - y0f
+                vz = (oz + t * dnz) * inv_vsz - 0.5 - z0f
+                inreg = (
+                    (vx >= 0.0) & (vx <= EX - 1.001)
+                    & (vy >= 0.0) & (vy <= EY - 1.001)
+                    & (vz >= 0.0) & (vz <= EZ - 1.001)
+                )
+                vx = jnp.clip(vx, 0.0, EX - 1.002)
+                vy = jnp.clip(vy, 0.0, EY - 1.002)
+                vz = jnp.clip(vz, 0.0, EZ - 1.002)
+                ix = jnp.floor(vx)
+                iy = jnp.floor(vy)
+                iz = jnp.floor(vz)
+                fxv = vx - ix
+                fyv = vy - iy
+                fzv = vz - iz
+                ixi = ix.astype(jnp.int32)
+                iyi = iy.astype(jnp.int32)
+                izi = iz.astype(jnp.int32)
+
+                # two-hot interpolation weights
+                Wx = jnp.where(iota_x == ixi, 1.0 - fxv,
+                               jnp.where(iota_x == ixi + 1, fxv, 0.0))
+                Wy = jnp.where(iota_y == iyi, 1.0 - fyv,
+                               jnp.where(iota_y == iyi + 1, fyv, 0.0))
+                Wz = jnp.where(iota_z == izi, 1.0 - fzv,
+                               jnp.where(iota_z == izi + 1, fzv, 0.0))
+
+                # collapse x on the MXU: (EZ*EY, EX) @ (EX, P)
+                A = jax.lax.dot_general(
+                    Vflat, Wx.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(EZ, EY, P)
+                # collapse y, z on the VPU
+                Bm = jnp.sum(A * Wy[None, :, :], axis=1)  # (EZ, P)
+                val = jnp.sum(Bm * Wz, axis=0, keepdims=True)  # (1, P)
+                if not want_grad:
+                    return val, inreg, None, None, None
+
+                Wxd = jnp.where(iota_x == ixi, -1.0,
+                                jnp.where(iota_x == ixi + 1, 1.0, 0.0))
+                Wyd = jnp.where(iota_y == iyi, -1.0,
+                                jnp.where(iota_y == iyi + 1, 1.0, 0.0))
+                Wzd = jnp.where(iota_z == izi, -1.0,
+                                jnp.where(iota_z == izi + 1, 1.0, 0.0))
+                Ad = jax.lax.dot_general(
+                    Vflat, Wxd.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(EZ, EY, P)
+                Bd = jnp.sum(Ad * Wy[None, :, :], axis=1)
+                gxv = jnp.sum(Bd * Wz, axis=0, keepdims=True)
+                By = jnp.sum(A * Wyd[None, :, :], axis=1)
+                gyv = jnp.sum(By * Wz, axis=0, keepdims=True)
+                gzv = jnp.sum(Bm * Wzd, axis=0, keepdims=True)
+                return val, inreg, gxv, gyv, gzv
+
+            # ---- windowed crossing search ----------------------------
+            found = jnp.zeros((1, P), jnp.bool_)
+            ok_all = has_warm
+            t_hit = jnp.zeros((1, P), jnp.float32)
+            prev_val = jnp.zeros((1, P), jnp.float32)
+            prev_t = t0
+            for k in range(window):
+                tk = t0 + k * step
+                val, inreg, _, _, _ = tap(tk, False)
+                ok_all = ok_all & inreg
+                if k > 0:
+                    crossing = (
+                        jnp.logical_not(found) & (prev_val > 0) & (val < 0)
+                    )
+                    denom = prev_val - val
+                    frac = jnp.where(
+                        jnp.abs(denom) > 1e-12, prev_val / denom, 0.5
+                    )
+                    t_hit = jnp.where(crossing, prev_t + step * frac, t_hit)
+                    found = found | crossing
+                prev_val = val
+                prev_t = tk
+            found = found & ok_all
+
+            # ---- Newton refinement (2 iterations) --------------------
+            gxv = jnp.zeros((1, P), jnp.float32)
+            gyv = jnp.zeros((1, P), jnp.float32)
+            gzv = jnp.zeros((1, P), jnp.float32)
+            for _ in range(2):
+                val, inreg, gxv, gyv, gzv = tap(t_hit, True)
+                found = found & inreg
+                dval_dt = (gxv * dnx + gyv * dny + gzv * dnz) * inv_vsz
+                newton = jnp.where(
+                    jnp.abs(dval_dt) > 1e-6, val / dval_dt, 0.0
+                )
+                t_hit = t_hit - jnp.clip(newton, -2.0 * trunc, 2.0 * trunc)
+
+            t_ref[hp : hp + 1, :] = jnp.where(found, t_hit, 0.0)
+            found_ref[hp : hp + 1, :] = found.astype(jnp.float32)
+            gx_ref[hp : hp + 1, :] = gxv
+            gy_ref[hp : hp + 1, :] = gyv
+            gz_ref[hp : hp + 1, :] = gzv
+
+
+def _warm_start(cam, T_cam_to_local, prev_vmap, measured_depth, h, w):
+    """Forward-warped previous prediction + measured-depth fallback.
+    Same policy as ops/raycast_fast.raycast_fast."""
+    INF = jnp.float32(1e9)
+    zbuf = jnp.full((h * w,), INF)
+    if prev_vmap is not None:
+        Tinv = jnp.linalg.inv(T_cam_to_local)
+        pv = jnp.einsum("ij,jhw->ihw", Tinv[:3, :3], prev_vmap) + Tinv[:3, 3][
+            :, None, None
+        ]
+        pz = pv[2].reshape(-1)
+        okp = jnp.isfinite(pz) & (pz > 0.05)
+        uu = jnp.round(
+            jnp.where(okp, pv[0].reshape(-1) / jnp.maximum(pz, 1e-6), 0.0)
+            * cam.fx + cam.cx
+        ).astype(jnp.int32)
+        vv = jnp.round(
+            jnp.where(okp, pv[1].reshape(-1) / jnp.maximum(pz, 1e-6), 0.0)
+            * cam.fy + cam.cy
+        ).astype(jnp.int32)
+        okp = okp & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+        idx = jnp.where(okp, vv * w + uu, h * w)
+        zbuf = zbuf.at[idx].min(jnp.where(okp, pz, INF), mode="drop")
+    zbuf = zbuf.reshape(h, w)
+
+    def dil(x):
+        p = jnp.pad(x, 1, constant_values=INF)
+        out = x
+        for dy in range(3):
+            for dx in range(3):
+                out = jnp.minimum(out, p[dy : dy + h, dx : dx + w])
+        return out
+
+    filled = dil(dil(zbuf))
+    warm_z = jnp.where(zbuf < INF, zbuf, filled)
+    warm_z = jnp.where(
+        warm_z < INF, warm_z,
+        jnp.where(measured_depth > 0, measured_depth, INF),
+    )
+    return warm_z  # (h,w) camera z, INF = none
+
+
+def raycast_pallas(
+    vol: BlockedVolume,
+    cam: CameraIntrinsics,  # HALF-resolution intrinsics
+    T_cam_to_local: jnp.ndarray,
+    prev_vmap: Optional[jnp.ndarray],
+    measured_depth: jnp.ndarray,  # (h,w) filtered metres
+    voxel_size: float,
+    volume_size: float,
+    trunc_dist: float,
+    window: int = 6,
+    interpret: bool = False,
+) -> FastRaycastResult:
+    h, w = cam.height, cam.width
+    B = round(vol.tsdf.shape[0] ** (1 / 3))
+    R = B * BLOCK
+    ext = _region_extents(R)
+    EZ, EY, EX = ext
+    step = 0.8 * trunc_dist
+    inv_vsz = 1.0 / voxel_size
+
+    h_pad = -(-h // TILE) * TILE
+    w_pad = -(-w // TILE) * TILE
+    nty, ntx = h_pad // TILE, w_pad // TILE
+    T = nty * ntx
+
+    Rot = T_cam_to_local[:3, :3]
+    o = T_cam_to_local[:3, 3]
+
+    # ---- ray directions + warm start (XLA) ---------------------------
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    rx = (u - cam.cx) / cam.fx
+    ry = (v - cam.cy) / cam.fy
+    lam = jnp.sqrt(rx * rx + ry * ry + 1.0)
+    ones = jnp.ones((h, w), jnp.float32)
+    d_cam = jnp.stack([rx * ones, ry * ones, ones], axis=0)
+    d = jnp.einsum("ij,jhw->ihw", Rot, d_cam)
+    dn = d / jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+    cos_z = jnp.einsum("j,jhw->hw", Rot[:, 2], dn)
+
+    warm_z = _warm_start(cam, T_cam_to_local, prev_vmap, measured_depth, h, w)
+    INF = jnp.float32(1e9)
+    has_warm = warm_z < INF
+    t_warm = jnp.where(has_warm, warm_z * lam, 0.0)  # ray length
+
+    # ---- per-tile region corners (XLA) -------------------------------
+    tw = jnp.pad(t_warm, ((0, h_pad - h), (0, w_pad - w)))
+    tiles = tw.reshape(nty, TILE, ntx, TILE).transpose(0, 2, 1, 3).reshape(
+        T, TILE * TILE
+    )
+    tvalid = tiles > 0
+    cnt = jnp.maximum(tvalid.sum(axis=1), 1)
+    t_mid = jnp.where(tvalid, tiles, 0.0).sum(axis=1) / cnt  # (T,)
+    any_warm = tvalid.any(axis=1)
+
+    # segment half-length along the ray around t_mid
+    span = (window / 2.0 + 0.5) * step + 2.0 * trunc_dist
+    dpad = jnp.pad(
+        jnp.moveaxis(dn, 0, -1), ((0, h_pad - h), (0, w_pad - w), (0, 0))
+    )
+    dtiles = dpad.reshape(nty, TILE, ntx, TILE, 3).transpose(
+        0, 2, 1, 3, 4
+    ).reshape(T, TILE * TILE, 3)
+    plo = o[None, None, :] + (t_mid[:, None] - span)[..., None] * dtiles
+    phi = o[None, None, :] + (t_mid[:, None] + span)[..., None] * dtiles
+    BIG = jnp.float32(1e9)
+    vmask = tvalid[..., None]  # only pixels with a warm start shape the bbox
+    pmin = jnp.where(vmask, jnp.minimum(plo, phi), BIG).min(axis=1) * inv_vsz - 0.5
+    pmax = jnp.where(vmask, jnp.maximum(plo, phi), -BIG).max(axis=1) * inv_vsz - 0.5
+    # segments may leave the volume (scene deeper than the active
+    # window); out-of-volume taps can never hit, so only the in-volume
+    # portion needs covering — taps outside mask to fallback per pixel
+    pmin = jnp.clip(pmin, 0.0, R - 1.0)
+    pmax = jnp.clip(pmax, 0.0, R - 1.0)
+    margin = 2.0
+    lo_need = jnp.maximum(pmin - margin, 0.0)
+    hi_need = jnp.minimum(pmax + margin, R - 1.0)
+    lox = jnp.clip(
+        jnp.floor(lo_need[:, 0]).astype(jnp.int32) & ~127, 0, R - EX
+    )
+    loy = jnp.clip(jnp.floor(lo_need[:, 1]).astype(jnp.int32) & ~7, 0, R - EY)
+    loz = jnp.clip(jnp.floor(lo_need[:, 2]).astype(jnp.int32) & ~7, 0, R - EZ)
+    fits = (
+        (hi_need[:, 0] <= (lox + EX - 1).astype(jnp.float32))
+        & (hi_need[:, 1] <= (loy + EY - 1).astype(jnp.float32))
+        & (hi_need[:, 2] <= (loz + EZ - 1).astype(jnp.float32))
+    )
+    valid = (any_warm & fits).astype(jnp.int32)
+    corners = jnp.stack([loz, loy, lox, valid], axis=1)  # (T,4)
+
+    params = jnp.concatenate(
+        [
+            o,
+            jnp.array([inv_vsz], jnp.float32),
+            jnp.array([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32),
+            Rot.reshape(-1),
+            jnp.zeros((7,), jnp.float32),
+        ]
+    )  # (24,)
+
+    vol_bf16 = build_logical_bf16(vol, R, interpret=interpret)
+    # tile-major packing: tile i -> rows [8i, 8i+8), 256 px in rows 0-1
+    # (TPU block shapes need (8k, 128) tiles; (16,16) image blocks don't
+    # lower — pack instead of fighting the layout)
+    warm_tiles = jnp.pad(
+        tiles.reshape(T, 2, 128), ((0, 0), (0, 6), (0, 0))
+    ).reshape(T * 8, 128)
+
+    kern = functools.partial(
+        _raycast_kernel, ntx=ntx, ext=ext, window=window,
+        step=float(step), trunc=float(trunc_dist),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (8, 128), lambda i, c, p: (i, 0), memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (8, 128), lambda i, c, p: (i, 0), memory_space=pltpu.VMEM,
+            )
+        ] * 5,
+        scratch_shapes=[
+            pltpu.VMEM((EZ, EY, EX), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    shp = jax.ShapeDtypeStruct((T * 8, 128), jnp.float32)
+    t_hit, found, gx, gy, gz = pl.pallas_call(
+        kern,
+        out_shape=(shp, shp, shp, shp, shp),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(corners, params, vol_bf16, warm_tiles)
+
+    def unpack(x):
+        """(T*8,128) tile-major -> (h,w)."""
+        xt = x.reshape(T, 8, 128)[:, :2, :].reshape(
+            nty, ntx, TILE, TILE
+        )
+        return xt.transpose(0, 2, 1, 3).reshape(h_pad, w_pad)[:h, :w]
+
+    t_hit = unpack(t_hit)
+    found = unpack(found) > 0.5
+    grad = jnp.stack([unpack(gx), unpack(gy), unpack(gz)], axis=-1)
+
+    # ---- XLA post: normals, colour, fallback -------------------------
+    gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=-1, keepdims=True))
+    ok = found & (gnorm[..., 0] > 1e-9)
+    normal = jnp.moveaxis(grad / jnp.maximum(gnorm, 1e-12), -1, 0)
+    pos_hit = o[:, None, None] + t_hit[None] * dn
+
+    pos_vox = jnp.moveaxis(pos_hit, 0, -1) * inv_vsz - 0.5
+    gi = jnp.round(pos_vox).astype(jnp.int32)
+    px = jnp.mod(gi[..., 0] + vol.wrap[0], R)
+    py = jnp.mod(gi[..., 1] + vol.wrap[1], R)
+    pz = jnp.mod(gi[..., 2] + vol.wrap[2], R)
+    cw = vol.cw.reshape(-1)[flat_index(R, pz, py, px)]
+    wgt, cr, cg, cb = unpack_cw(cw)
+
+    # fallback for region-miss pixels with a measurement: the freshly
+    # integrated measurement IS the model there (weight-1 fusion), so
+    # use it directly; screen-space normals from the measured depth.
+    from kintinuous_tpu.ops import maps as map_ops
+
+    vm_m = map_ops.create_vmap(cam, measured_depth)  # camera frame
+    vm_l = jnp.einsum("ij,jhw->ihw", Rot, vm_m) + o[:, None, None]
+    nm_c = map_ops.create_nmap(vm_m)
+    nm_l = jnp.einsum("ij,jhw->ihw", Rot, nm_c)
+    # orient toward the camera (TSDF gradients point into free space)
+    facing = jnp.sum(nm_l * dn, axis=0)
+    nm_l = jnp.where(facing[None] > 0, -nm_l, nm_l)
+    meas_ok = (
+        jnp.logical_not(ok)
+        & (measured_depth > 0)
+        & jnp.isfinite(vm_l).all(axis=0)
+        & jnp.isfinite(nm_l).all(axis=0)
+    )
+
+    nan = jnp.float32(jnp.nan)
+    vmap_out = jnp.where(
+        ok[None], pos_hit, jnp.where(meas_ok[None], vm_l, nan)
+    )
+    nmap_out = jnp.where(
+        ok[None], normal, jnp.where(meas_ok[None], nm_l, nan)
+    )
+    either = ok | meas_ok
+    depth_out = jnp.where(
+        ok, t_hit * cos_z, jnp.where(meas_ok, measured_depth, 0.0)
+    )
+    return FastRaycastResult(
+        vmap=vmap_out,
+        nmap=nmap_out,
+        color=jnp.where(ok[None], jnp.stack([cr, cg, cb], 0), 0.0),
+        weight=jnp.where(ok, wgt, 0.0),
+        depth=depth_out,
+    )

@@ -312,6 +312,12 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
     from kintinuous_tpu.ops.raycast_fast import raycast_fast
     from kintinuous_tpu.ops.tsdf_fast import integrate_fast
 
+    use_pallas = cfg.pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        from kintinuous_tpu.ops.pallas_raycast import raycast_pallas
+
     cam = cfg.camera
     cam_half = cam.at_level(1)
     R = cfg.volume_resolution
@@ -442,26 +448,40 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             )
 
             def do_clear(v):
+                """Clear departing bands, then PHYSICALLY roll the
+                blocked volume so wrap stays 0 (logical == physical).
+                The reference re-addresses via voxelWrap instead
+                (tsdf_volume.cu:612-615); a wrap-free window costs one
+                in-place roll on rare shift frames and lets every
+                volume kernel (and the Pallas raycast's region DMAs)
+                skip mod arithmetic entirely."""
+
                 def keep_axis(axis):
                     s = shift[axis]
                     lo = jnp.where(s > 0, 0, R - S)
                     hi = jnp.where(s > 0, S, R)
-                    logical = jnp.mod(
-                        jnp.arange(R, dtype=jnp.int32) - v.wrap[axis], R
-                    )
+                    logical = jnp.arange(R, dtype=jnp.int32)  # wrap == 0
                     return jnp.logical_not(
                         (s != 0) & (logical >= lo) & (logical < hi)
                     )
 
                 keep = axis_keep_mask(keep_axis(0), keep_axis(1), keep_axis(2))
-                return v._replace(
-                    tsdf=v.tsdf * keep,
-                    cw=jnp.where(keep, v.cw, jnp.uint32(0)),
-                )
+                t = v.tsdf * keep
+                c = jnp.where(keep, v.cw, jnp.uint32(0))
+                B = R // 8
+                sb = shift // 8  # fast mode forces 8-aligned shifts
+                t = jnp.roll(
+                    t.reshape(B, B, B, 512),
+                    shift=(-sb[2], -sb[1], -sb[0]), axis=(0, 1, 2),
+                ).reshape(-1, 512)
+                c = jnp.roll(
+                    c.reshape(B, B, B, 512),
+                    shift=(-sb[2], -sb[1], -sb[0]), axis=(0, 1, 2),
+                ).reshape(-1, 512)
+                return v._replace(tsdf=t, cw=c)
 
             vol = jax.lax.cond(shift_any, do_clear, lambda v: v, vol)
             vol = vol._replace(
-                wrap=jnp.mod(vol.wrap + shift, R),
                 origin=vol.origin + shift.astype(jnp.float32) * vsz,
             )
             pose = pose.at[:3, 3].add(-shift.astype(jnp.float32) * vsz)
@@ -478,10 +498,16 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
         # model surface matches the measurement wherever observed, and
         # warming from previous *predictions* creates a drift feedback
         # loop (verified empirically on long sequences)
-        rc = raycast_fast(
-            vol, cam_half, pose, None, depth_half, vsz,
-            cfg.volume_size, cfg.trunc_dist,
-        )
+        if use_pallas:
+            rc = raycast_pallas(
+                vol, cam_half, pose, None, depth_half, vsz,
+                cfg.volume_size, cfg.trunc_dist,
+            )
+        else:
+            rc = raycast_fast(
+                vol, cam_half, pose, None, depth_half, vsz,
+                cfg.volume_size, cfg.trunc_dist,
+            )
 
         pose_global = pose.at[:3, 3].add(vol.origin)
         new_state = TrackerState(
