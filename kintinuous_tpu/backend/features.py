@@ -92,6 +92,15 @@ class Vocabulary:
                 cent[c] = np.packbits(maj)
         return Vocabulary(cent)
 
+    def save(self, path: str) -> None:
+        """Persist centroids (.npy) — the role of the reference's
+        DBoW2 vocabulary files (-v, DBowInterfaceSurf.cpp:103-113)."""
+        np.save(path, self.centroids)
+
+    @staticmethod
+    def load(path: str) -> "Vocabulary":
+        return Vocabulary(np.load(path).astype(np.uint8))
+
     def quantise(self, descriptors: np.ndarray) -> np.ndarray:
         if len(descriptors) == 0:
             return np.zeros(0, np.int32)

@@ -179,6 +179,13 @@ class PlaceRecognition:
     def __init__(self, cfg: KintinuousConfig, vocab: Optional[Vocabulary] = None):
         self.cfg = cfg
         self.cam = cfg.camera
+        if vocab is None and cfg.vocab_file:
+            # pre-trained vocabulary (-v flag; the reference loads a
+            # DBoW2 vocab file, DBowInterfaceSurf.cpp:33-42)
+            import os
+
+            if os.path.exists(cfg.vocab_file):
+                vocab = Vocabulary.load(cfg.vocab_file)
         self.vocab = vocab
         self.db: Optional[BowDatabase] = None
         self.keyframes: List[Keyframe] = []

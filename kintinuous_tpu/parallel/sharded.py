@@ -13,12 +13,15 @@ anywhere); this module is the new ICI scaling layer the TPU build adds:
   reduce.cu's single-GPU tree reduction;
 - band clears / wrap / origin / pose bookkeeping are replicated scalar
   work on slab-local masks;
-- raycast v1 all-gathers the tsdf slabs (one tiled all_gather per
-  frame) and marches replicated pixel rows against the full volume.
-  The zero-gather design (slab-local march + psum-min hit combine +
-  1-plane ppermute halos for trilinear/normals) is the planned
-  optimisation — the all_gather is the correctness baseline and is
-  already a real ICI collective.
+- raycast is SLAB-LOCAL: each chip marches every ray but only owns the
+  sample pairs whose leading sample lies in its physical z-slab;
+  trilinear/normal/colour taps near slab edges read a few halo planes
+  exchanged with ring neighbours via `ppermute` (~8 MB/frame on ICI),
+  per-ray first-hit candidates combine with a `pmin`, and the winning
+  chip's attributes are `psum`-merged. This replaces the v1 correctness
+  baseline that all-gathered the full volume (~1 GB/frame);
+  `make_sharded_step(..., slab_raycast=False)` keeps that baseline for
+  A/B testing.
 
 Volume shifting/extraction in multi-chip runs is host-triggered on the
 gathered volume (shift events are rare — every voxel_shift*voxel_size
@@ -82,7 +85,188 @@ def make_sharded_state(cfg: KintinuousConfig, mesh: Mesh) -> ShardedTrackerState
     return jax.tree_util.tree_map(jax.device_put, state, sh)
 
 
-def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = True):
+def _slab_trilinear(arr_h, wrap, idx, slab, halo, R, pos_vox):
+    """Trilinear sample against a halo-extended z-slab.
+
+    arr_h: (halo + slab + halo, R, R) — physical planes
+    [idx*slab - halo, idx*slab + slab + halo) mod R.
+    Returns (val, corners(...,8), frac, own) where `own` marks samples
+    whose base z-plane this chip owns (each global sample is owned by
+    exactly one chip)."""
+    base = jnp.floor(pos_vox).astype(jnp.int32)
+    frac = pos_vox - base
+    nloc = arr_h.shape[0]
+    flat = arr_h.reshape(-1)
+    pz0 = jnp.mod(base[..., 2] + wrap[2], R)
+    lz0 = jnp.mod(pz0 - idx * slab + halo, R)
+    own = (lz0 >= halo) & (lz0 < halo + slab)
+    reachable = lz0 < nloc - 1
+
+    def corner(cx, cy, cz):
+        ix = jnp.mod(base[..., 0] + cx + wrap[0], R)
+        iy = jnp.mod(base[..., 1] + cy + wrap[1], R)
+        lz = jnp.clip(lz0 + cz, 0, nloc - 1)
+        return flat[(lz * R + iy) * R + ix]
+
+    c = [corner(k & 1, (k >> 1) & 1, (k >> 2) & 1) for k in range(8)]
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    c00 = c[0] * (1 - fx) + c[1] * fx
+    c10 = c[2] * (1 - fx) + c[3] * fx
+    c01 = c[4] * (1 - fx) + c[5] * fx
+    c11 = c[6] * (1 - fx) + c[7] * fx
+    val = (c00 * (1 - fy) + c10 * fy) * (1 - fz) + (
+        c01 * (1 - fy) + c11 * fy
+    ) * fz
+    corners = jnp.stack(c, axis=-1)
+    return val, corners, frac, own & reachable
+
+
+def _halo_extend(slab_arr, halo, axis_name="z"):
+    """(slab,R,R) -> (halo+slab+halo,R,R) with ring-neighbour halos.
+
+    Two `ppermute`s move `halo` boundary planes per neighbour per frame
+    (~R*R*halo elements each) — the ICI cost that replaces the v1
+    full-volume all_gather."""
+    n = jax.lax.axis_size(axis_name)
+    fwd = [(i, (i - 1) % n) for i in range(n)]  # receive from next chip
+    bwd = [(i, (i + 1) % n) for i in range(n)]  # receive from prev chip
+    hi = jax.lax.ppermute(slab_arr[:halo], axis_name, perm=fwd)
+    lo = jax.lax.ppermute(slab_arr[-halo:], axis_name, perm=bwd)
+    return jnp.concatenate([lo, slab_arr, hi], axis=0)
+
+
+def _raycast_slab(
+    vol: VolumeState,
+    cam: CameraIntrinsics,
+    T_cam_to_local,
+    voxel_size: float,
+    volume_size: float,
+    trunc_dist: float,
+    idx,
+    slab: int,
+    step_factor: float = 0.8,
+    min_range: float = 0.3,
+    max_range=None,
+    axis_name: str = "z",
+):
+    """Slab-local replacement for ops/raycast.raycast inside shard_map.
+
+    Every chip marches all rays but owns only the sample pairs whose
+    leading sample sits in its physical z-slab; first-hit candidates
+    combine with pmin and the winning chip's attributes psum-merge."""
+    import math as _math
+
+    from kintinuous_tpu.ops.raycast import _ray_box
+    from kintinuous_tpu.ops.tsdf import trilinear_gradient, unpack_cw
+
+    H, W = cam.height, cam.width
+    R = vol.tsdf.shape[0] * jax.lax.axis_size(axis_name)
+    step = step_factor * trunc_dist
+    if max_range is None:
+        max_range = volume_size * _math.sqrt(3.0)
+    n_steps = int(_math.ceil((max_range - min_range) / step))
+    # halo: one step of ray advance (<= step/voxel planes) + trilinear
+    halo = int(_math.ceil(step_factor * trunc_dist / voxel_size)) + 2
+    halo = min(halo, slab)
+
+    tsdf_h = _halo_extend(vol.tsdf, halo, axis_name)
+    cw_h = _halo_extend(vol.cw, halo, axis_name)
+
+    Rot = T_cam_to_local[:3, :3]
+    o = T_cam_to_local[:3, 3]
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    rx = (u - cam.cx) / cam.fx
+    ry = (v - cam.cy) / cam.fy
+    ones = jnp.ones((H, W), jnp.float32)
+    d_cam = jnp.stack([rx * ones, ry * ones, ones], axis=0)
+    d = jnp.einsum("ij,jhw->ihw", Rot, d_cam)
+    dn = d / jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+    cos_z = jnp.einsum("j,jhw->hw", Rot[:, 2], dn)
+
+    t_near, t_far = _ray_box(o, dn, volume_size)
+    t_start = jnp.maximum(min_range, t_near + 1e-5)
+    t_stop = jnp.minimum(t_far - 1e-5, max_range)
+
+    def sample_at(t):
+        pos = o[:, None, None] + t[None] * dn
+        pos_vox = jnp.moveaxis(pos, 0, -1) / voxel_size - 0.5
+        val, _, _, own = _slab_trilinear(
+            tsdf_h, vol.wrap, idx, slab, halo, R, pos_vox
+        )
+        return val, own
+
+    INF = jnp.float32(1e9)
+
+    def body(i, carry):
+        prev, own_prev, found, t_hit = carry
+        t = t_start + (i + 1) * step
+        val, own = sample_at(t)
+        active = jnp.logical_not(found) & (t <= t_stop) & own_prev
+        crossing = active & (prev > 0) & (val < 0)
+        denom = prev - val
+        frac_t = jnp.where(jnp.abs(denom) > 1e-12, prev / denom, 0.5)
+        t_cross = (t - step) + step * frac_t
+        t_hit = jnp.where(crossing, t_cross, t_hit)
+        found = found | crossing
+        prev = val
+        return prev, own, found, t_hit
+
+    prev0, own0 = sample_at(t_start)
+    init = (
+        prev0, own0, jnp.zeros((H, W), bool), jnp.full((H, W), INF)
+    )
+    _, _, found_l, t_hit_l = jax.lax.fori_loop(0, n_steps, body, init)
+
+    t_loc = jnp.where(found_l, t_hit_l, INF)
+    t_min = jax.lax.pmin(t_loc, axis_name)
+    found = t_min < INF
+    winner = found_l & (t_loc <= t_min)
+
+    t_hit = jnp.where(found, t_min, 0.0)
+    pos_hit = o[:, None, None] + t_hit[None] * dn
+    pos_vox = jnp.moveaxis(pos_hit, 0, -1) / voxel_size - 0.5
+    _, corners, frac, _ = _slab_trilinear(
+        tsdf_h, vol.wrap, idx, slab, halo, R, pos_vox
+    )
+    grad = trilinear_gradient(corners, frac)
+    gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=-1, keepdims=True))
+    normal = jnp.moveaxis(grad / jnp.maximum(gnorm, 1e-12), -1, 0)
+    ok_l = winner & (gnorm[..., 0] > 1e-9)
+
+    # nearest colour/weight from the halo-extended cw slab
+    gi = jnp.round(pos_vox).astype(jnp.int32)
+    ix = jnp.mod(gi[..., 0] + vol.wrap[0], R)
+    iy = jnp.mod(gi[..., 1] + vol.wrap[1], R)
+    pz = jnp.mod(gi[..., 2] + vol.wrap[2], R)
+    lz = jnp.clip(jnp.mod(pz - idx * slab + halo, R), 0, cw_h.shape[0] - 1)
+    cwv = cw_h.reshape(-1)[(lz * R + iy) * R + ix]
+    wgt, cr, cg, cb = unpack_cw(cwv)
+
+    def merge(x, mask):
+        return jax.lax.psum(jnp.where(mask, x, 0.0), axis_name)
+
+    ok = jax.lax.psum(ok_l.astype(jnp.float32), axis_name) > 0
+    normal_g = merge(normal, ok_l[None])
+    col_g = jnp.stack(
+        [merge(cr, ok_l), merge(cg, ok_l), merge(cb, ok_l)], axis=0
+    )
+    wgt_g = merge(wgt, ok_l)
+
+    from kintinuous_tpu.ops.raycast import RaycastResult
+
+    nan = jnp.float32(jnp.nan)
+    return RaycastResult(
+        vmap=jnp.where(ok[None], pos_hit, nan),
+        nmap=jnp.where(ok[None], normal_g, nan),
+        color=jnp.where(ok[None], col_g, 0.0),
+        weight=jnp.where(ok, wgt_g, 0.0),
+        depth=jnp.where(ok, t_hit * cos_z, 0.0),
+    )
+
+
+def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = True,
+                      slab_raycast: bool = True):
     """Build the jitted multi-chip tracking step over `mesh` (axis "z").
 
     Requirements: volume_resolution and camera.height divisible by the
@@ -195,17 +379,26 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
             z_phys_offset=idx * slab,
         )
 
-        # --- raycast: v1 gathers slabs (correctness baseline) ---
-        full = VolumeState(
-            tsdf=jax.lax.all_gather(vol.tsdf, "z", axis=0, tiled=True),
-            cw=jax.lax.all_gather(vol.cw, "z", axis=0, tiled=True),
-            wrap=vol.wrap,
-            origin=vol.origin,
-        )
-        rc = raycast(
-            full, cam, pose, vsz, cfg.volume_size, cfg.trunc_dist,
-            cfg.raycast_step_factor, cfg.raycast_min_range, cfg.raycast_max_range,
-        )
+        if slab_raycast:
+            # slab-local march + ppermute halos + pmin/psum combine
+            rc = _raycast_slab(
+                vol, cam, pose, vsz, cfg.volume_size, cfg.trunc_dist,
+                idx, slab, cfg.raycast_step_factor, cfg.raycast_min_range,
+                cfg.raycast_max_range,
+            )
+        else:
+            # v1 baseline: gather the slabs and march the full volume
+            full = VolumeState(
+                tsdf=jax.lax.all_gather(vol.tsdf, "z", axis=0, tiled=True),
+                cw=jax.lax.all_gather(vol.cw, "z", axis=0, tiled=True),
+                wrap=vol.wrap,
+                origin=vol.origin,
+            )
+            rc = raycast(
+                full, cam, pose, vsz, cfg.volume_size, cfg.trunc_dist,
+                cfg.raycast_step_factor, cfg.raycast_min_range,
+                cfg.raycast_max_range,
+            )
 
         new_state = ShardedTrackerState(
             vol=vol, pose=pose, pred_vmap=rc.vmap, pred_nmap=rc.nmap,

@@ -205,7 +205,15 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
             )
             slices = (empty, empty, empty)
         else:
-            cam_off = pose[:3, 3] - center  # metres from volume center [x,y,z]
+            # dynamic cube (-dc): recenter the volume around where the
+            # camera LOOKS, not where it sits — the shift anchor moves
+            # down the optical axis so the frustum fills the volume
+            # (reference repositionCube, KintinuousTracker.cpp:384-442,
+            # :597-600)
+            anchor = pose[:3, 3]
+            if cfg.dynamic_cube:
+                anchor = anchor + pose[:3, 2] * (0.35 * cfg.volume_size)
+            cam_off = anchor - center  # metres from volume center [x,y,z]
             shift = jnp.where(
                 cam_off >= shift_thresh, S, jnp.where(cam_off <= -shift_thresh, -S, 0)
             ).astype(jnp.int32)
@@ -400,7 +408,12 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             shift = jnp.zeros(3, jnp.int32)
             slices = empty_slices()
         else:
-            cam_off = pose[:3, 3] - center
+            anchor = pose[:3, 3]
+            if cfg.dynamic_cube:
+                # recenter around the view direction (repositionCube,
+                # KintinuousTracker.cpp:384-442)
+                anchor = anchor + pose[:3, 2] * (0.35 * cfg.volume_size)
+            cam_off = anchor - center
             shift = jnp.where(
                 cam_off >= shift_thresh, S,
                 jnp.where(cam_off <= -shift_thresh, -S, 0),

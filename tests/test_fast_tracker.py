@@ -146,3 +146,18 @@ def test_fast_tracker_rgbd_batched():
     )
     assert n == len(poses)
     assert ate < 0.04
+
+
+def test_dynamic_cube_shifts_toward_view():
+    """-dc: the shift anchor sits down the optical axis, so a camera
+    looking +z recenters the volume ahead of itself even while
+    stationary (reference repositionCube, KintinuousTracker.cpp:384-442)."""
+    cfg = fast_cfg(dynamic_cube=True)
+    poses = [np.eye(4) for _ in range(6)]
+    tracker = run(cfg, poses, use_gt=True)
+    z_shifts = sum(int(s[2]) for s in tracker.shift_log)
+    assert z_shifts > 0
+    # without -dc the stationary camera never shifts
+    cfg2 = fast_cfg()
+    tracker2 = run(cfg2, poses, use_gt=True)
+    assert all(int(s[2]) == 0 for s in tracker2.shift_log)

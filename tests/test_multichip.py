@@ -85,3 +85,38 @@ def test_sharded_matches_single_chip(mesh):
     np.testing.assert_allclose(np.asarray(pose_g), pose_single, atol=5e-4)
     vol_sharded = np.asarray(jax.device_get(state.vol.tsdf))
     np.testing.assert_allclose(vol_sharded, vol_single, atol=1e-4)
+
+
+def test_slab_raycast_matches_allgather(mesh):
+    """The zero-gather slab raycast must reproduce the all_gather
+    baseline's predictions (same volume, same pose)."""
+    fs = frames(2)
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    results = []
+    for slab in (True, False):
+        state = make_sharded_state(CFG, mesh)
+        step_ext = make_sharded_step(CFG, mesh, use_odometry=False,
+                                     slab_raycast=slab)
+        step_odo = make_sharded_step(CFG, mesh, use_odometry=True,
+                                     slab_raycast=slab)
+        with mesh:
+            for i, (d, c) in enumerate(fs):
+                dj = jnp.asarray(d.astype(np.float32))
+                cj = jnp.asarray(c.astype(np.float32))
+                st = step_ext if i == 0 else step_odo
+                state, pose_g = st(state, dj, cj, eye)
+        results.append(
+            (np.asarray(jax.device_get(state.pred_vmap)),
+             np.asarray(jax.device_get(state.pred_nmap)),
+             np.asarray(pose_g))
+        )
+    (va, na, pa), (vb, nb, pb) = results
+    np.testing.assert_allclose(pa, pb, atol=1e-5)
+    hits_a = np.isfinite(va).all(axis=0)
+    hits_b = np.isfinite(vb).all(axis=0)
+    # identical hit sets and matching positions/normals
+    assert (hits_a == hits_b).mean() > 0.995
+    both = hits_a & hits_b
+    np.testing.assert_allclose(va[:, both], vb[:, both], atol=1e-4)
+    np.testing.assert_allclose(na[:, both], nb[:, both], atol=1e-3)

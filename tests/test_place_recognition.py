@@ -124,3 +124,16 @@ def test_place_recognition_detects_loop():
     )
     assert np.linalg.norm(err) < 0.08, f"loop transform err {err}"
     assert len(c.inliers1) >= cfg.loop_min_matches * cfg.inlier_ratio
+
+
+def test_vocabulary_save_load(tmp_path):
+    from kintinuous_tpu.backend.features import Vocabulary
+
+    rng = np.random.default_rng(3)
+    desc = rng.integers(0, 256, (300, 32), dtype=np.uint8)
+    v = Vocabulary.train(desc, k=32)
+    p = tmp_path / "vocab.npy"
+    v.save(str(p))
+    v2 = Vocabulary.load(str(p))
+    np.testing.assert_array_equal(v.centroids, v2.centroids)
+    np.testing.assert_array_equal(v.quantise(desc[:10]), v2.quantise(desc[:10]))
