@@ -121,6 +121,10 @@ class KintinuousConfig:
     icp_fast_iterations: Tuple[int, ...] = (0, 10, 5, 0)
     icp_dist_thresh: float = 0.10  # metres (reduce.cu:211-254)
     icp_angle_thresh_deg: float = 20.0
+    # GN steps per projective association in fast mode (1 = associate
+    # every iteration like the reference; the association gather is
+    # ~6x the cost of the elementwise system build on TPU)
+    icp_reassoc_every: int = 2
     rgbd_max_depth_delta: float = 0.07  # metres (RGBDOdometry.cpp:40)
     rgbd_jump_reject: float = 0.3  # metres (RGBDOdometry.cpp:383-387)
     rgbd_icp_weight: float = 10.0  # fused-solve ICP weight (RGBDOdometry.cpp:316-321)

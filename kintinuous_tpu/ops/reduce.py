@@ -190,6 +190,96 @@ def solve_gn(A: jnp.ndarray, b: jnp.ndarray, damping: float = 1e-6):
     return jnp.where(ok, xi, 0.0), ok
 
 
+def icp_associate(
+    cam: CameraIntrinsics,
+    T_curr_to_prev: jnp.ndarray,
+    vmap_curr: jnp.ndarray,  # (3,H,W)
+    packed_prev: jnp.ndarray,  # (H*W,8) target rows from pack_maps
+    target_hw: tuple,
+):
+    """Projective data association only (the gather half of icp_step).
+
+    Returns frozen correspondence targets (d, n) as (3,h,w) plus the
+    in-image mask. The gather is the expensive part of a GN iteration
+    (~1 ms vs ~0.16 ms for the system build at 320x240 — measured), so
+    the solver re-associates only every `reassoc_every` iterations and
+    runs the cheap elementwise build in between."""
+    H, W = target_hw
+    R = T_curr_to_prev[:3, :3]
+    t = T_curr_to_prev[:3, 3]
+    s = jnp.einsum("ij,jhw->ihw", R, vmap_curr) + t[:, None, None]
+    z = jnp.maximum(s[2], 1e-6)
+    u = s[0] / z * cam.fx + cam.cx
+    v = s[1] / z * cam.fy + cam.cy
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (s[2] > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    idx = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+    rows = packed_prev[idx.reshape(-1)]  # (N,8) single row gather
+    d = jnp.moveaxis(rows[:, 0:3], -1, 0).reshape(3, *idx.shape)
+    n = jnp.moveaxis(rows[:, 3:6], -1, 0).reshape(3, *idx.shape)
+    return d, n, in_img
+
+
+def icp_build_from_assoc(
+    T_curr_to_prev: jnp.ndarray,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    d: jnp.ndarray,
+    n: jnp.ndarray,
+    in_img: jnp.ndarray,
+    dist_thresh: float,
+    angle_thresh_sin: float,
+) -> GNSystem:
+    """GN normal-equation build on frozen correspondences — pure
+    elementwise + one MXU reduction, no gathers. Same math and gating
+    as icp_step (reduce.cu:211-316); only the association is stale by
+    up to reassoc_every-1 sub-iterations."""
+    R = T_curr_to_prev[:3, :3]
+    t = T_curr_to_prev[:3, 3]
+    s = jnp.einsum("ij,jhw->ihw", R, vmap_curr) + t[:, None, None]
+    n_rot = jnp.einsum("ij,jhw->ihw", R, nmap_curr)
+    finite = (
+        jnp.isfinite(vmap_curr).all(axis=0)
+        & jnp.isfinite(d).all(axis=0)
+        & jnp.isfinite(n).all(axis=0)
+        & jnp.isfinite(n_rot).all(axis=0)
+    )
+    diff = d - s
+    dist2 = jnp.sum(jnp.where(finite, diff * diff, 0.0), axis=0)
+    cross = jnp.stack(
+        [
+            n_rot[1] * n[2] - n_rot[2] * n[1],
+            n_rot[2] * n[0] - n_rot[0] * n[2],
+            n_rot[0] * n[1] - n_rot[1] * n[0],
+        ],
+        axis=0,
+    )
+    sine = jnp.sqrt(jnp.sum(jnp.where(finite, cross * cross, 0.0), axis=0))
+    mask = (
+        in_img
+        & finite
+        & (dist2 < dist_thresh * dist_thresh)
+        & (sine < angle_thresh_sin)
+    )
+    sxn = jnp.stack(
+        [
+            s[1] * n[2] - s[2] * n[1],
+            s[2] * n[0] - s[0] * n[2],
+            s[0] * n[1] - s[1] * n[0],
+        ],
+        axis=0,
+    )
+    a = jnp.concatenate([sxn, n], axis=0)
+    r = jnp.sum(n * diff, axis=0)
+    a = jnp.where(mask[None], a, 0.0).reshape(6, -1)
+    r = jnp.where(mask, r, 0.0).reshape(-1)
+    A = jnp.einsum("in,jn->ij", a, a)
+    b = jnp.einsum("in,n->i", a, r)
+    return GNSystem(A=A, b=b, count=mask.sum().astype(jnp.float32),
+                    residual=jnp.sum(r * r))
+
+
 def icp_solve_level(
     cam: CameraIntrinsics,
     T_init: jnp.ndarray,
@@ -203,8 +293,14 @@ def icp_solve_level(
     min_inliers: float = 30.0,
     axis_name: str | None = None,
     packed_prev: jnp.ndarray | None = None,
+    reassoc_every: int = 1,
 ):
     """Run `iterations` GN steps at one level (ICPOdometry.cpp:98-179).
+
+    reassoc_every > 1 groups GN steps onto shared correspondences:
+    association (the dominant gather) runs once per group, the
+    elementwise build+solve every step. reassoc_every=1 reproduces the
+    reference's per-iteration association exactly.
 
     Multi-chip: when axis_name is set, vmap_curr/nmap_curr hold only
     this device's pixel-row block (vmap_prev stays full) and the 6x6
@@ -212,24 +308,53 @@ def icp_solve_level(
     solve — the ICI analogue of the reference's single-GPU tree
     reduction (reduce.cu:89-184).
     """
+    if iterations == 0:
+        zero = jnp.float32(0.0)
+        return T_init, zero, zero
 
-    def body(_, carry):
-        T, _, _ = carry
-        sys = icp_step(
-            cam, T, vmap_curr, nmap_curr, vmap_prev, nmap_prev,
-            dist_thresh, angle_thresh_sin, packed_prev=packed_prev,
+    if reassoc_every <= 1 or packed_prev is None:
+        def body(_, carry):
+            T, _, _ = carry
+            sys = icp_step(
+                cam, T, vmap_curr, nmap_curr, vmap_prev, nmap_prev,
+                dist_thresh, angle_thresh_sin, packed_prev=packed_prev,
+            )
+            if axis_name is not None:
+                sys = GNSystem(*[jax.lax.psum(x, axis_name) for x in sys])
+            xi, ok = solve_gn(sys.A, sys.b)
+            ok = ok & (sys.count >= min_inliers)
+            T_new = se3.exp_se3(xi) @ T
+            T = jnp.where(ok, T_new, T)
+            return T, sys.count, sys.residual
+
+        return jax.lax.fori_loop(
+            0, iterations, body, (T_init, jnp.float32(0.0), jnp.float32(0.0))
+        )
+
+    H, W = vmap_prev.shape[1:]
+    n_groups = -(-iterations // reassoc_every)
+
+    def inner(_, carry):
+        T, _, _, d, n, in_img = carry
+        sys = icp_build_from_assoc(
+            T, vmap_curr, nmap_curr, d, n, in_img,
+            dist_thresh, angle_thresh_sin,
         )
         if axis_name is not None:
             sys = GNSystem(*[jax.lax.psum(x, axis_name) for x in sys])
         xi, ok = solve_gn(sys.A, sys.b)
         ok = ok & (sys.count >= min_inliers)
-        T_new = se3.exp_se3(xi) @ T
-        T = jnp.where(ok, T_new, T)
-        return T, sys.count, sys.residual
+        T = jnp.where(ok, se3.exp_se3(xi) @ T, T)
+        return T, sys.count, sys.residual, d, n, in_img
 
-    if iterations == 0:
-        zero = jnp.float32(0.0)
-        return T_init, zero, zero
+    def outer(_, carry):
+        T, cnt, res = carry
+        d, n, in_img = icp_associate(cam, T, vmap_curr, packed_prev, (H, W))
+        T, cnt, res, *_ = jax.lax.fori_loop(
+            0, reassoc_every, inner, (T, cnt, res, d, n, in_img)
+        )
+        return T, cnt, res
+
     return jax.lax.fori_loop(
-        0, iterations, body, (T_init, jnp.float32(0.0), jnp.float32(0.0))
+        0, n_groups, outer, (T_init, jnp.float32(0.0), jnp.float32(0.0))
     )

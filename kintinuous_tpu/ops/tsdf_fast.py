@@ -45,7 +45,7 @@ OUT, FREE, BAND = 0, 1, 2
 
 
 class DepthTables(NamedTuple):
-    img_rows: jnp.ndarray  # (H*W/8, 16) f32: [ray x8 | aux x8]
+    img_rows: jnp.ndarray  # (H*W, 2) f32: [ray, aux-bits] per pixel
     mip_rows: jnp.ndarray  # (n_cells, 8) f32: [min,max,inv,...] dilated
     n_cells_u: int
 
@@ -70,9 +70,10 @@ def build_depth_tables(
         | jnp.clip(rgb[..., 2], 0, 255).astype(jnp.uint32)
     )
     aux = jax.lax.bitcast_convert_type(aux_u32, jnp.float32)
-    img_rows = jnp.concatenate(
-        [ray.reshape(-1, BLOCK), aux.reshape(-1, BLOCK)], axis=1
-    )  # (HW/8, 16)
+    img_rows = jnp.stack(
+        [ray.reshape(-1), aux.reshape(-1)], axis=1
+    )  # (HW, 2): one 8B [ray|aux] pair per pixel, gathered by pidx
+    # directly — no in-row one-hot select needed downstream
 
     # cell mips over valid ray lengths
     cu = W // CELL
@@ -113,6 +114,9 @@ def build_depth_tables(
     mip = jnp.concatenate(
         [min_d[..., None], max_d[..., None], inv_d[..., None], pad], axis=-1
     ).reshape(-1, 8)
+    # Materialise both tables so the downstream gathers read a plain
+    # buffer instead of pulling the table construction into the gather.
+    img_rows, mip = jax.lax.optimization_barrier((img_rows, mip))
     return DepthTables(img_rows=img_rows, mip_rows=mip, n_cells_u=cu)
 
 
@@ -207,6 +211,7 @@ def integrate_fast(
     carve: bool = True,
     cell: int = DEFAULT_CELL,
     dilate: int = 2,
+    free_cap: int = 12288,  # max FREE blocks carved per frame
 ) -> "BlockedVolume":
     """vol is BLOCK-MAJOR (ops/blocked.BlockedVolume): band updates are
     contiguous 2KB block-row gathers/scatters (near-bandwidth, vs
@@ -223,30 +228,46 @@ def integrate_fast(
     )
 
     tsdf, cw = vol.tsdf, vol.cw  # (B^3, 512)
+    n_rows = tsdf.shape[0]
 
-    # ---- FREE carve: one fused elementwise pass, no gathers ----------
-    if carve:
-        free_row = (cls == FREE).reshape(-1)[:, None]  # (B^3,1)
-        w_old = (cw >> 24).astype(jnp.float32)
-        w_new = jnp.minimum(w_old + 1.0, max_weight)
-        t_new = (tsdf * w_old + 1.0) / jnp.maximum(w_old + 1.0, 1.0)
-        tsdf = jnp.where(free_row, t_new, tsdf)
-        cw = jnp.where(
-            free_row,
-            (w_new.astype(jnp.uint32) << 24) | (cw & jnp.uint32(0x00FFFFFF)),
-            cw,
-        )
-
-    # ---- BAND pass: compact block list -> contiguous block-row gathers
+    # ---- compact BAND (and FREE) block lists in ONE scatter ----------
+    # The full-volume elementwise carve costs a 2.1 GB read+write sweep
+    # (~4 ms); carving only the compacted FREE rows is ~5-10x cheaper.
     bandb = (cls == BAND).reshape(-1)
     bidx = jnp.cumsum(bandb.astype(jnp.int32)) - 1
-    dest = jnp.where(bandb & (bidx < band_cap), bidx, band_cap)
     all_ids = jnp.arange(B * B * B, dtype=jnp.int32)
-    band_ids = (
-        jnp.zeros((band_cap,), jnp.int32).at[dest].set(all_ids, mode="drop")
-    )
+    if carve:
+        freeb = (cls == FREE).reshape(-1)
+        fidx = jnp.cumsum(freeb.astype(jnp.int32)) - 1
+        dest = jnp.where(
+            bandb & (bidx < band_cap), bidx,
+            jnp.where(freeb & (fidx < free_cap), band_cap + fidx,
+                      band_cap + free_cap),
+        )
+        ids = jnp.zeros((band_cap + free_cap,), jnp.int32).at[dest].set(
+            all_ids, mode="drop")
+        band_ids, free_ids = ids[:band_cap], ids[band_cap:]
+        n_free = jnp.minimum(freeb.sum(), free_cap)
+    else:
+        dest = jnp.where(bandb & (bidx < band_cap), bidx, band_cap)
+        band_ids = (
+            jnp.zeros((band_cap,), jnp.int32).at[dest].set(all_ids, mode="drop")
+        )
     n_band = jnp.minimum(bandb.sum(), band_cap)
     valid_block = (jnp.arange(band_cap) < n_band)[:, None]  # (K,1)
+
+    # ---- FREE carve on compacted rows (uniform update, no image data)
+    if carve:
+        tf8 = tsdf[free_ids]  # (F,512) contiguous row gathers
+        cf8 = cw[free_ids]
+        w_old = (cf8 >> 24).astype(jnp.float32)
+        w_new = jnp.minimum(w_old + 1.0, max_weight)
+        t_new = (tf8 * w_old + 1.0) / jnp.maximum(w_old + 1.0, 1.0)
+        c_new = (w_new.astype(jnp.uint32) << 24) | (cf8 & jnp.uint32(0x00FFFFFF))
+        valid_free = jnp.arange(free_cap) < n_free
+        safe_free = jnp.where(valid_free, free_ids, n_rows)
+        tsdf = tsdf.at[safe_free].set(t_new, mode="drop")
+        cw = cw.at[safe_free].set(c_new, mode="drop")
 
     t8 = tsdf[band_ids]  # (K,512) contiguous row gather
     c8 = cw[band_ids]
@@ -275,15 +296,10 @@ def integrate_fast(
     in_img = (z > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
     pidx = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
 
-    # one 16-wide aligned image-row gather per voxel + one-hot select
-    irow = tables.img_rows[(pidx >> 3).reshape(-1)].reshape(*pidx.shape, 16)
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (*pidx.shape, BLOCK), pidx.ndim)
-        == (pidx & 7)[..., None]
-    )
-    samp_ray = jnp.sum(jnp.where(onehot, irow[..., :BLOCK], 0.0), axis=-1)
-    samp_aux_f = jnp.sum(jnp.where(onehot, irow[..., BLOCK:], 0.0), axis=-1)
-    samp_aux = jax.lax.bitcast_convert_type(samp_aux_f, jnp.uint32)
+    # one 8B [ray|aux] pair gather per voxel (no in-row select needed)
+    irow = tables.img_rows[pidx.reshape(-1)].reshape(*pidx.shape, 2)
+    samp_ray = irow[..., 0]
+    samp_aux = jax.lax.bitcast_convert_type(irow[..., 1], jnp.uint32)
     samp_disc = (samp_aux >> 24) > 0
     r_new = ((samp_aux >> 16) & 0xFF).astype(jnp.float32)
     g_new = ((samp_aux >> 8) & 0xFF).astype(jnp.float32)
@@ -318,7 +334,6 @@ def integrate_fast(
     )
 
     # block-row scatter back; padding rows target out-of-range (dropped)
-    n_rows = tsdf.shape[0]
     safe_rows = jnp.where(valid_block[:, 0], band_ids, n_rows)
     tsdf = tsdf.at[safe_rows].set(t_upd, mode="drop")
     cw = cw.at[safe_rows].set(c_upd, mode="drop")

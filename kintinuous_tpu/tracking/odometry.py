@@ -74,6 +74,7 @@ def icp_odometry(
     dist_thresh: float = 0.10,
     angle_thresh_deg: float = 20.0,
     T_init: Optional[jnp.ndarray] = None,
+    reassoc_every: int = 1,
 ):
     """Coarse-to-fine frame-to-model point-to-plane ICP.
 
@@ -97,9 +98,12 @@ def icp_odometry(
         # pack once per level; association inside the GN loop is then a
         # single row gather per pixel per iteration
         packed = pack_maps(vp, np_)
+        # stale correspondences are only safe once the estimate is
+        # sub-pixel accurate: group GN steps at the finest level only,
+        # re-associate every iteration while motion is still large
         T, count, residual = icp_solve_level(
             cam.at_level(l), T, vc, nc, vp, np_, iters, dist_thresh, sin_t,
-            packed_prev=packed,
+            packed_prev=packed, reassoc_every=reassoc_every if l == 0 else 1,
         )
     return T, count, residual
 

@@ -391,6 +391,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
                 delta, icp_count, icp_res = icp_odometry(
                     cam_half, curr_pyr, pred_pyr, iters,
                     cfg.icp_dist_thresh, cfg.icp_angle_thresh_deg,
+                    reassoc_every=cfg.icp_reassoc_every,
                 )
         else:
             delta = ext_delta

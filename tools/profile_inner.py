@@ -68,7 +68,6 @@ def main():
 
     vol = make_blocked_volume(cfg.volume_resolution)
 
-    @jax.jit
     def f_int(vol, carve, bc):
         return integrate_fast(vol, cam, depth_m, rgb, disc, pose, vsz,
                               cfg.trunc_dist, float(cfg.max_weight),
@@ -84,14 +83,39 @@ def main():
     timeit("integrate carve only (band_cap=8)", f_carveonly, vol)
 
     # raycast variants
-    f_rc = jax.jit(lambda v: raycast_fast(
+    from kintinuous_tpu.ops.pallas_raycast import raycast_pallas, _warm_start
+
+    f_rcp = jax.jit(lambda v: raycast_pallas(
         v, cam_half, pose, None, depth_half, vsz, cfg.volume_size,
         cfg.trunc_dist))
-    timeit("raycast_fast window=8", f_rc, vol)
-    f_rc4 = jax.jit(lambda v: raycast_fast(
-        v, cam_half, pose, None, depth_half, vsz, cfg.volume_size,
-        cfg.trunc_dist, window=4))
-    timeit("raycast_fast window=4", f_rc4, vol)
+    timeit("raycast_pallas (no prev)", f_rcp, vol)
+
+    prev_vmap = jnp.zeros((3, cam_half.height, cam_half.width), jnp.float32)
+    f_rcpw = jax.jit(lambda v: raycast_pallas(
+        v, cam_half, pose, prev_vmap, depth_half, vsz, cfg.volume_size,
+        cfg.trunc_dist))
+    timeit("raycast_pallas (prev warp)", f_rcpw, vol)
+
+    f_ws = jax.jit(lambda pv: _warm_start(
+        cam_half, pose, pv, depth_half, cam_half.height, cam_half.width))
+    timeit("warm_start alone", f_ws, prev_vmap)
+
+    # ICP alone (fast-path shapes: half-res base pyramid, (10,5) iters)
+    from kintinuous_tpu.tracking.odometry import (
+        build_map_pyramid, icp_odometry, pyramid_from_maps)
+
+    levels = max(2, cfg.pyramid_levels - 1)
+
+    @jax.jit
+    def f_icp(depth_half):
+        curr = build_map_pyramid(cam_half, depth_half, levels)
+        pred = pyramid_from_maps(curr[0][0], curr[0][1], levels)
+        T, cnt, res = icp_odometry(cam_half, curr, pred, (10, 5, 0),
+                                   cfg.icp_dist_thresh,
+                                   cfg.icp_angle_thresh_deg)
+        return T, cnt, res
+
+    timeit("pyramids + icp (10,5)", f_icp, depth_half)
 
 
 if __name__ == "__main__":
