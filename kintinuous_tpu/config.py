@@ -96,6 +96,9 @@ class KintinuousConfig:
     # at most ~5k surface blocks at 512^3 (each block spans >=8x8 px), so
     # 8192 keeps headroom while the cap sets the static gather width
     band_cap: int = 8192
+    # Pallas integrate: cap on band blocks whose footprint exceeds the
+    # patch window (handled by the exact XLA gather path instead)
+    fallback_band_cap: int = 512
     # Pallas TPU kernels (None = auto: on when running on TPU). The
     # XLA fast path remains as the CPU/test implementation.
     pallas: Optional[bool] = None

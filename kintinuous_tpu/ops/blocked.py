@@ -2,10 +2,15 @@
 
 TPU HBM gathers of scattered 32-byte rows run ~54ns/row (measured);
 contiguous 2KB block rows run near memory bandwidth. So the fast path
-stores the volume block-major: shape (B^3, 512) where row
-bz*B^2 + by*B + bx holds the 8^3 block, voxel (dz,dy,dx) at offset
-dz*64 + dy*8 + dx. This is the voxel-block layout of InfiniTAM-style
-systems recast as a TPU tiling decision.
+stores the volume block-major: shape (B^3, 4, 128) where row
+bz*B^2 + by*B + bx holds the 8^3 block, voxel (dz,dy,dx) at flat
+offset dz*64 + dy*8 + dx (i.e. sublane dz*64+dy*8+dx >> 7, lane
+offset & 127). The trailing (4, 128) split — rather than a flat 512 —
+matches the TPU (sublane, lane) tile so Pallas kernels can address
+single block rows with native BlockSpecs and XLA can alias the
+donated volume through pallas calls without 0.5 GB reshape copies.
+This is the voxel-block layout of InfiniTAM-style systems recast as a
+TPU tiling decision.
 
 The dense (R,R,R) layout remains the reference/correctness layout
 (ops/tsdf.py); conversions are single transposes used in tests and on
@@ -23,8 +28,8 @@ CELLS = BLOCK ** 3
 
 
 class BlockedVolume(NamedTuple):
-    tsdf: jnp.ndarray  # (B^3, 512) f32
-    cw: jnp.ndarray  # (B^3, 512) u32 packed weight<<24|r<<16|g<<8|b
+    tsdf: jnp.ndarray  # (B^3, 4, 128) f32
+    cw: jnp.ndarray  # (B^3, 4, 128) u32 packed weight<<24|r<<16|g<<8|b
     wrap: jnp.ndarray  # (3,) i32 [x,y,z], multiples of BLOCK
     origin: jnp.ndarray  # (3,) f32 [x,y,z] global metres of local 0 corner
 
@@ -41,26 +46,26 @@ def resolution_of(blocked_rows: int) -> int:
 def make_blocked_volume(resolution: int) -> BlockedVolume:
     B = resolution // BLOCK
     return BlockedVolume(
-        tsdf=jnp.zeros((B ** 3, CELLS), jnp.float32),
-        cw=jnp.zeros((B ** 3, CELLS), jnp.uint32),
+        tsdf=jnp.zeros((B ** 3, 4, 128), jnp.float32),
+        cw=jnp.zeros((B ** 3, 4, 128), jnp.uint32),
         wrap=jnp.zeros((3,), jnp.int32),
         origin=jnp.zeros((3,), jnp.float32),
     )
 
 
 def dense_to_blocked(arr: jnp.ndarray) -> jnp.ndarray:
-    """(R,R,R) [z,y,x] -> (B^3, 512)."""
+    """(R,R,R) [z,y,x] -> (B^3, 4, 128)."""
     R = arr.shape[0]
     B = R // BLOCK
     return (
         arr.reshape(B, BLOCK, B, BLOCK, B, BLOCK)
         .transpose(0, 2, 4, 1, 3, 5)
-        .reshape(B ** 3, CELLS)
+        .reshape(B ** 3, 4, 128)
     )
 
 
 def blocked_to_dense(arr: jnp.ndarray) -> jnp.ndarray:
-    """(B^3, 512) -> (R,R,R) [z,y,x]."""
+    """(B^3, 4, 128) -> (R,R,R) [z,y,x]."""
     B = round(arr.shape[0] ** (1 / 3))
     R = B * BLOCK
     return (
@@ -101,4 +106,4 @@ def axis_keep_mask(keep_x, keep_y, keep_z):
         & ky[None, :, None, None, :, None]
         & kx[None, None, :, None, None, :]
     )
-    return m.reshape(B ** 3, CELLS)
+    return m.reshape(B ** 3, 4, 128)

@@ -66,12 +66,17 @@ def _deblock_kernel(in_ref, s_ref, e_ref, out_ref, *, byh: int, B: int):
     with S/E exact one-hots (bf16 one-hot matmul preserves bf16 values).
     """
     x = in_ref[:].astype(jnp.bfloat16)
-    xb = x.reshape(byh, B, 512)  # [by, bx, cell]
+    xb = x.reshape(byh, B, 4, 128)  # [by, bx, cell_hi, cell_lo]
     acc = jnp.zeros((byh, 64, B * 8), jnp.float32)  # [by, k=(dz,dy), x]
     for dx in range(8):
-        M = jax.lax.dot_general(
-            xb, s_ref[dx], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # Mosaic matmuls need a single contracting dim: contract the
+        # lane axis per sublane piece and accumulate the 4 pieces
+        M = jnp.zeros((byh, B, 64), jnp.float32)
+        for q in range(4):
+            M = M + jax.lax.dot_general(
+                xb[:, :, q, :], s_ref[dx, q],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         part = jax.lax.dot_general(
             M.astype(jnp.bfloat16), e_ref[dx], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -91,13 +96,14 @@ def _build_sel(B: int):
     for dx in range(8):
         S[dx, k * 8 + dx, k] = 1.0
         E[dx, bx, bx * 8 + dx] = 1.0
+    S = S.reshape(8, 4, 128, 64)  # cell split (sublane, lane) to match
     return (jnp.asarray(S, jnp.bfloat16), jnp.asarray(E, jnp.bfloat16))
 
 
 def build_logical_bf16(
     vol: BlockedVolume, R: int, interpret: bool = False
 ) -> jnp.ndarray:
-    """Blocked (B^3,512) f32 -> dense LOGICAL (R,R,R) bf16.
+    """Blocked (B^3,4,128) f32 -> dense LOGICAL (R,R,R) bf16.
 
     Requires vol.wrap == 0: the fast tracker keeps the window wrap-free
     by physically rolling the blocked volume on (rare) shift frames, so
@@ -110,8 +116,8 @@ def build_logical_bf16(
         grid=(B, B // byh),
         in_specs=[
             pl.BlockSpec(
-                (byh * B, 512),
-                lambda bz, i, _nb=B // byh: (bz * _nb + i, 0),
+                (byh * B, 4, 128),
+                lambda bz, i, _nb=B // byh: (bz * _nb + i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -48,18 +48,19 @@ class FastRaycastResult(NamedTuple):
 
 
 def build_pair_texture(tsdf_b: jnp.ndarray) -> jnp.ndarray:
-    """(B^3,512) f32 -> (B^3,512) u32 where entry v holds
+    """(B^3,4,128) f32 -> (B^3,512) u32 where entry v holds
     (bf16(t[x]) << 16) | bf16(t[x+1 mod R]) for the voxel at offset v
     and its +x neighbour (wrapping across block and volume boundaries).
 
     One elementwise pass + a block-row roll (~2 ms at 512^3), amortised
     over ~1M raycast taps that each save 4 scalar gathers."""
     B = round(tsdf_b.shape[0] ** (1 / 3))
-    t = tsdf_b.reshape(B, B, B, BLOCK, BLOCK, BLOCK)  # [bz,by,bx,dz,dy,dx]
+    flat = tsdf_b.reshape(B * B * B, 512)
+    t = flat.reshape(B, B, B, BLOCK, BLOCK, BLOCK)  # [bz,by,bx,dz,dy,dx]
     left = t[..., 1:]  # value at dx+1 for dx in 0..6
     nxt = jnp.roll(t, -1, axis=2)[..., :1]  # dx=0 of block bx+1 (mod B)
-    xplus = jnp.concatenate([left, nxt], axis=-1).reshape(tsdf_b.shape)
-    hi = (jax.lax.bitcast_convert_type(tsdf_b.astype(jnp.bfloat16), jnp.uint16)
+    xplus = jnp.concatenate([left, nxt], axis=-1).reshape(flat.shape)
+    hi = (jax.lax.bitcast_convert_type(flat.astype(jnp.bfloat16), jnp.uint16)
           .astype(jnp.uint32) << 16)
     lo = jax.lax.bitcast_convert_type(xplus.astype(jnp.bfloat16), jnp.uint16
                                       ).astype(jnp.uint32)

@@ -134,8 +134,10 @@ def classify_blocks(
     """-> (block_class (Bz,By,Bx) i32, in OUT/FREE/BAND)."""
     if resolution is not None:
         R = resolution
+    elif vol.tsdf.ndim == 3 and vol.tsdf.shape[1:] == (4, 128):
+        R = round(vol.tsdf.shape[0] ** (1 / 3)) * BLOCK  # blocked
     elif vol.tsdf.ndim == 3:
-        R = vol.tsdf.shape[0]
+        R = vol.tsdf.shape[0]  # dense (R,R,R)
     else:
         R = round(vol.tsdf.shape[0] ** (1 / 3)) * BLOCK
     B = R // BLOCK
@@ -227,7 +229,7 @@ def integrate_fast(
         cell=cell, dilate=dilate, resolution=R,
     )
 
-    tsdf, cw = vol.tsdf, vol.cw  # (B^3, 512)
+    tsdf, cw = vol.tsdf, vol.cw  # (B^3, 4, 128)
     n_rows = tsdf.shape[0]
 
     # ---- compact BAND (and FREE) block lists in ONE scatter ----------
@@ -258,19 +260,21 @@ def integrate_fast(
 
     # ---- FREE carve on compacted rows (uniform update, no image data)
     if carve:
-        tf8 = tsdf[free_ids]  # (F,512) contiguous row gathers
-        cf8 = cw[free_ids]
+        tf8 = tsdf[free_ids].reshape(free_cap, CELLS)  # contiguous rows
+        cf8 = cw[free_ids].reshape(free_cap, CELLS)
         w_old = (cf8 >> 24).astype(jnp.float32)
         w_new = jnp.minimum(w_old + 1.0, max_weight)
         t_new = (tf8 * w_old + 1.0) / jnp.maximum(w_old + 1.0, 1.0)
         c_new = (w_new.astype(jnp.uint32) << 24) | (cf8 & jnp.uint32(0x00FFFFFF))
         valid_free = jnp.arange(free_cap) < n_free
         safe_free = jnp.where(valid_free, free_ids, n_rows)
-        tsdf = tsdf.at[safe_free].set(t_new, mode="drop")
-        cw = cw.at[safe_free].set(c_new, mode="drop")
+        tsdf = tsdf.at[safe_free].set(
+            t_new.reshape(free_cap, 4, 128), mode="drop")
+        cw = cw.at[safe_free].set(
+            c_new.reshape(free_cap, 4, 128), mode="drop")
 
-    t8 = tsdf[band_ids]  # (K,512) contiguous row gather
-    c8 = cw[band_ids]
+    t8 = tsdf[band_ids].reshape(band_cap, CELLS)  # contiguous row gather
+    c8 = cw[band_ids].reshape(band_cap, CELLS)
 
     # block id -> (bz,by,bx); voxel offsets within the 512-row
     bz = band_ids // (B * B)
@@ -335,7 +339,9 @@ def integrate_fast(
 
     # block-row scatter back; padding rows target out-of-range (dropped)
     safe_rows = jnp.where(valid_block[:, 0], band_ids, n_rows)
-    tsdf = tsdf.at[safe_rows].set(t_upd, mode="drop")
-    cw = cw.at[safe_rows].set(c_upd, mode="drop")
+    tsdf = tsdf.at[safe_rows].set(
+        t_upd.reshape(band_cap, 4, 128), mode="drop")
+    cw = cw.at[safe_rows].set(
+        c_upd.reshape(band_cap, 4, 128), mode="drop")
 
     return vol._replace(tsdf=tsdf, cw=cw)

@@ -324,6 +324,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
+        from kintinuous_tpu.ops.pallas_integrate import integrate_pallas
         from kintinuous_tpu.ops.pallas_raycast import raycast_pallas
 
     cam = cfg.camera
@@ -485,13 +486,13 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
                 B = R // 8
                 sb = shift // 8  # fast mode forces 8-aligned shifts
                 t = jnp.roll(
-                    t.reshape(B, B, B, 512),
+                    t.reshape(B, B, B, 4, 128),
                     shift=(-sb[2], -sb[1], -sb[0]), axis=(0, 1, 2),
-                ).reshape(-1, 512)
+                ).reshape(-1, 4, 128)
                 c = jnp.roll(
-                    c.reshape(B, B, B, 512),
+                    c.reshape(B, B, B, 4, 128),
                     shift=(-sb[2], -sb[1], -sb[0]), axis=(0, 1, 2),
-                ).reshape(-1, 512)
+                ).reshape(-1, 4, 128)
                 return v._replace(tsdf=t, cw=c)
 
             vol = jax.lax.cond(shift_any, do_clear, lambda v: v, vol)
@@ -503,10 +504,17 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
         disc = pp.depth_discontinuity_mask(
             depth_m, radius=3, jump_m=cfg.depth_discontinuity_mm * 1e-3
         )
-        vol = integrate_fast(
-            vol, cam, depth_m, rgb, disc, pose, vsz, cfg.trunc_dist,
-            float(cfg.max_weight), band_cap=cfg.band_cap,
-        )
+        if use_pallas:
+            vol = integrate_pallas(
+                vol, cam, depth_m, rgb, disc, pose, vsz, cfg.trunc_dist,
+                float(cfg.max_weight), band_cap=cfg.band_cap,
+                fb_cap=cfg.fallback_band_cap,
+            )
+        else:
+            vol = integrate_fast(
+                vol, cam, depth_m, rgb, disc, pose, vsz, cfg.trunc_dist,
+                float(cfg.max_weight), band_cap=cfg.band_cap,
+            )
 
         # warm-start from the measured depth only: after integration the
         # model surface matches the measurement wherever observed, and
