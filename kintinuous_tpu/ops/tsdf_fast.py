@@ -186,14 +186,45 @@ def classify_blocks(
 
     ci = jnp.clip(v.astype(jnp.int32) // CELL, 0, cv - 1)
     cj = jnp.clip(u.astype(jnp.int32) // CELL, 0, cu - 1)
-    cell = tables.mip_rows[(ci * cu + cj).reshape(-1)].reshape(*x.shape, 8)
-    min_d, max_d, inv_d = cell[..., 0], cell[..., 1], cell[..., 2]
+    # one-hot MXU lookup instead of B^3 scalar gathers (~1.8 ms at
+    # 512^3): the mip min/max are split into bf16 hi+lo limbs (exact to
+    # ~6e-5 relative) and a conservative EPS absorbs the residual, so
+    # FREE/OUT stay strictly conservative (misfits fall to BAND, whose
+    # per-voxel update is exact for any class)
+    n_cells = tables.mip_rows.shape[0]
+    mr = tables.mip_rows
+    min_c = jnp.minimum(mr[:, 0], 1e6)  # +inf (no valid px) -> sentinel
+    max_c = jnp.maximum(mr[:, 1], -1e6)  # -inf -> sentinel
+    min_hi = min_c.astype(jnp.bfloat16).astype(jnp.float32)
+    max_hi = max_c.astype(jnp.bfloat16).astype(jnp.float32)
+    lut = jnp.stack(
+        [
+            min_hi.astype(jnp.float32),
+            min_c - min_hi,
+            max_hi.astype(jnp.float32),
+            max_c - max_hi,
+            mr[:, 2],
+        ],
+        axis=1,
+    ).astype(jnp.bfloat16)  # (n_cells, 5)
+    idx = (ci * cu + cj).reshape(-1)
+    oh = (
+        idx[:, None] == jnp.arange(n_cells, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+    vals = jnp.dot(oh, lut, preferred_element_type=jnp.float32)
+    min_d = (vals[:, 0] + vals[:, 1]).reshape(x.shape)
+    max_d = (vals[:, 2] + vals[:, 3]).reshape(x.shape)
+    inv_d = vals[:, 4].reshape(x.shape)
 
-    free = fully_in & (inv_d == 0) & (min_d > r_c + r_half + trunc_dist)
+    EPS = 2e-3  # bf16-limb slack, metres
+    free = fully_in & (inv_d == 0) & (
+        min_d - EPS > r_c + r_half + trunc_dist
+    )
     out = (
         behind
         | jnp.logical_not(partly_in)
-        | (coverable & jnp.isfinite(max_d) & (max_d < r_c - r_half - trunc_dist))
+        | (coverable & (max_d > -1e5)
+           & (max_d + EPS < r_c - r_half - trunc_dist))
     )
     cls = jnp.where(free, FREE, jnp.where(out, OUT, BAND))
     return cls

@@ -635,6 +635,8 @@ class Tracker:
             self._step_odom = make_step(cfg, use_odometry=True)
             self._step_ext = make_step(cfg, use_odometry=False)
         self._batched = {}  # batch size -> jitted batched step
+        self._id_deltas = {}  # batch size -> device identity deltas
+        self._pending_batches: "deque" = deque()  # lagged batch outputs
         cam = cfg.camera
         H, W = cam.height, cam.width
         if cfg.fast_mode:
@@ -743,6 +745,7 @@ class Tracker:
         self.process_batch_device(
             jnp.asarray(depths), jnp.asarray(rgbs), [f[2] for f in frames]
         )
+        self.flush()
 
     def upload_batch(self, frames):
         """Host->device upload of a frame batch; callable from a
@@ -761,7 +764,10 @@ class Tracker:
         return jnp.asarray(depths), jnp.asarray(rgbs), [f[2] for f in frames]
 
     def process_batch_device(self, depths_j, rgbs_j, ts_list) -> None:
-        """Batched step on pre-uploaded device arrays."""
+        """Batched step on pre-uploaded device arrays. Outputs are
+        consumed one batch LATE so the per-batch device_get round-trip
+        (expensive through a tunnelled device) overlaps the next
+        batch's compute instead of stalling the dispatch pipeline."""
         assert self._frame_idx > 0, "first frame must go through process_frame"
         self.flush()
         B = int(depths_j.shape[0])
@@ -769,10 +775,20 @@ class Tracker:
             self._batched[B] = make_batched_step_fast(
                 self.cfg, use_odometry=True, batch=B
             )
-        deltas = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        if B not in self._id_deltas:
+            self._id_deltas[B] = jnp.asarray(
+                np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+            )
         self.state, ys, acc, accm, accf = self._batched[B](
-            self.state, depths_j, rgbs_j, jnp.asarray(deltas)
+            self.state, depths_j, rgbs_j, self._id_deltas[B]
         )
+        self._frame_idx += B
+        self._pending_batches.append((ys, acc, accm, accf, list(ts_list), B))
+        while len(self._pending_batches) > 1:
+            self._consume_batch(*self._pending_batches.popleft())
+
+    def _consume_batch(self, ys, acc, accm, accf, ts_list, B) -> None:
+        base_idx = None  # frame index of ts_list[0] tracked via _frame_idx
         poses_g, shifts, counts, resids, hits = jax.device_get(
             (ys[0], ys[1], ys[2], ys[3], ys[4])
         )
@@ -783,7 +799,6 @@ class Tracker:
             self.stats["icp_count"].append(float(counts[k]))
             self.stats["icp_residual"].append(float(resids[k]))
             self.shift_log.append(np.asarray(shifts[k]))
-            self._frame_idx += 1
         for axis in range(3):
             fidx = int(accf_h[axis])
             if fidx < 0:
@@ -800,7 +815,7 @@ class Tracker:
                 dimension=_AXIS_DIM[(axis, 1 if s > 0 else -1)],
                 pose=np.asarray(poses_g[fidx]),
                 timestamp_us=ts_list[fidx],
-                frame_index=self._frame_idx - B + fidx,
+                frame_index=len(self.poses) - B + fidx,
             )
             self.slices.append(sl)
             if self.slice_callback:
@@ -827,6 +842,8 @@ class Tracker:
     def flush(self) -> None:
         while self._pending:
             self._consume(*self._pending.popleft())
+        while self._pending_batches:
+            self._consume_batch(*self._pending_batches.popleft())
 
     def _consume(self, out: StepOutputs, timestamp_us: int, frame_idx: int) -> None:
         pose_g = np.asarray(out.pose_global)
