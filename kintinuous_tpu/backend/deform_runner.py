@@ -183,6 +183,17 @@ class MapDeformation:
             mc.add(p)
         return mc.save(path)
 
+    def pool_points(self):
+        """(points f32 (N,3), colors u8 (N,3)) of the deformed global
+        pool — the viewer's map source (ThreadDataPack::pointPool role).
+        None when empty."""
+        parts = [s.processed for s in self.slices if s.processed is not None]
+        if not parts:
+            return None
+        pts = np.concatenate([p["points"] for p in parts]).astype(np.float32)
+        cols = np.concatenate([p["colors"] for p in parts]).astype(np.uint8)
+        return pts, cols
+
     def save_cloud(self, path: str) -> int:
         parts = [s.processed for s in self.slices if s.processed is not None]
         if not parts:

@@ -4,6 +4,7 @@ Flag-for-flag compatible with the reference CLI where meaningful
 (src/utils/ConfigArgs.h:36-74, README.md:132-161):
 
     -l  <log.klg>      RawLogReader input
+    -live <addr>       live capture socket (LiveLogReader role)
     -p  <traj>         ground-truth trajectory replay
     -v  <vocab.npy>    BoW vocabulary file
     -c  <calib>        calibration: "fx fy cx cy [w h]" text file
@@ -53,7 +54,12 @@ def build_config(argv) -> KintinuousConfig:
         prog="kintinuous_tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
-    p.add_argument("-l", dest="log_file", required=True)
+    p.add_argument("-l", dest="log_file")
+    p.add_argument(
+        "-live", dest="live_source",
+        help="live capture from a sensor daemon socket (host:port or "
+             "unix path) — the LiveLogReader/OpenNI2 role",
+    )
     p.add_argument("-p", dest="trajectory_file")
     p.add_argument("-v", dest="vocab_file")
     p.add_argument("-c", dest="calibration")
@@ -75,14 +81,21 @@ def build_config(argv) -> KintinuousConfig:
     p.add_argument("-o", dest="save_file", default="output")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument(
+        "--viz-port", dest="viz_port", type=int, default=None,
+        help="serve the live web viewer (PangoVis role) on this port",
+    )
+    p.add_argument(
         "--fast", dest="fast_mode", action="store_true",
         help="blocked fast path: sparse TSDF updates + warm raycast + batched dispatch",
     )
     a = p.parse_args(argv)
+    if not a.log_file and not a.live_source:
+        p.error("one of -l <log.klg> or -live <address> is required")
 
     cam = load_calibration(a.calibration) if a.calibration else CameraIntrinsics()
     return KintinuousConfig(
         log_file=a.log_file,
+        live_source=a.live_source,
         trajectory_file=a.trajectory_file,
         vocab_file=a.vocab_file,
         camera=cam,
@@ -108,10 +121,21 @@ def build_config(argv) -> KintinuousConfig:
 
 
 def main(argv=None):
-    cfg = build_config(argv if argv is not None else sys.argv[1:])
+    argv = argv if argv is not None else sys.argv[1:]
+    viz_port = None
+    if "--viz-port" in argv:
+        i = argv.index("--viz-port")
+        viz_port = int(argv[i + 1])
+    cfg = build_config(argv)
     from kintinuous_tpu.runtime.engine import SlamEngine
 
     engine = SlamEngine(cfg)
+    viewer = None
+    if viz_port is not None:
+        from kintinuous_tpu.viz.server import ViewerServer
+
+        viewer = ViewerServer(engine, port=viz_port)
+        print(f"viewer: http://127.0.0.1:{viewer.port}/")
 
     def progress(done, total):
         if done % 30 == 0 or done == total:

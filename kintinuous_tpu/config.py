@@ -73,6 +73,9 @@ class KintinuousConfig:
 
     # --- I/O ---
     log_file: Optional[str] = None
+    # live capture: sensor daemon socket ("host:port" or unix path);
+    # used when no log_file is given (reference LiveLogReader role)
+    live_source: Optional[str] = None
     trajectory_file: Optional[str] = None
     vocab_file: Optional[str] = None
     save_file: str = "output"

@@ -95,6 +95,10 @@ class SlamEngine:
         )
         self.workers: List[Worker] = []
         self._end_of_log = threading.Event()
+        # GUI proxies (reference MainController complete/pause,
+        # MainController.cpp:233-361 driven by PangoVis buttons)
+        self.stop_requested = threading.Event()
+        self.paused = threading.Event()
         self._last_kf_pose: Optional[np.ndarray] = None
         self._frames_done = 0
         self._t_start = 0.0
@@ -130,9 +134,10 @@ class SlamEngine:
 
     # ---------------------------------------------------------- running
     def run(self, progress=None) -> "SlamEngine":
-        """Process cfg.log_file to completion (offline mode)."""
+        """Process cfg.log_file (offline) or cfg.live_source (live
+        capture) to completion."""
         cfg = self.cfg
-        assert cfg.log_file
+        assert cfg.log_file or cfg.live_source
         self.workers = [Worker("SliceProcessor", self._slice_stage)]
         if self.place_rec is not None:
             self.workers.append(Worker("PlaceRecognition", self._pr_stage))
@@ -144,17 +149,26 @@ class SlamEngine:
             stamps, poses = load_trajectory(cfg.trajectory_file)
             gt = GroundTruthOdometry(stamps, poses)
 
-        if cfg.fast_mode and gt is None and not cfg.frame_rate_limit:
+        if (cfg.fast_mode and gt is None and not cfg.frame_rate_limit
+                and not cfg.live_source):
             return self._run_batched(progress)
 
         cam = cfg.camera
         self._t_start = time.perf_counter()
         pending = []  # (depth, rgb, ts) lagged for keyframe publishing
         frame_budget = 1.0 / cfg.frame_rate_limit if cfg.frame_rate_limit else None
-        with KlgLogReader(
-            cfg.log_file, width=cam.width, height=cam.height,
-            max_frames=cfg.total_num_frames,
-        ) as reader:
+        if cfg.live_source:
+            from kintinuous_tpu.io.live import LiveLogReader
+
+            reader_cm = LiveLogReader(
+                cfg.live_source, width=cam.width, height=cam.height
+            )
+        else:
+            reader_cm = KlgLogReader(
+                cfg.log_file, width=cam.width, height=cam.height,
+                max_frames=cfg.total_num_frames,
+            )
+        with reader_cm as reader:
             for frame in reader:
                 t0 = time.perf_counter()
                 delta = gt.delta(frame.timestamp) if gt is not None else None
@@ -171,6 +185,13 @@ class SlamEngine:
                     spare = frame_budget - (time.perf_counter() - t0)
                     if spare > 0:
                         time.sleep(spare)
+                if (cfg.live_source and cfg.total_num_frames > 0
+                        and self._frames_done >= cfg.total_num_frames):
+                    break
+                if self.stop_requested.is_set():
+                    break
+                while self.paused.is_set() and not self.stop_requested.is_set():
+                    time.sleep(0.05)
         self.tracker.flush()
         self._publish(pending)
         self.tracker.finalise()
@@ -261,8 +282,10 @@ class SlamEngine:
         total = 0
         while True:
             item = upload_q.get()
-            if item is None:
+            if item is None or self.stop_requested.is_set():
                 break
+            while self.paused.is_set() and not self.stop_requested.is_set():
+                time.sleep(0.05)
             if item[0] == "first":
                 _, d0, c0, ts0, total = item
                 with self.sw.span("processFrame"):
@@ -390,6 +413,13 @@ class SlamEngine:
                 out["mesh"] = f"{base}.ply"
                 save_volume_mesh(out["mesh"], self.tracker, self.cfg)
         return out
+
+    def complete(self):
+        """Request a clean end of the run: the frame loop stops at the
+        next frame boundary and finalisation proceeds as at end-of-log
+        (MainController::complete, :233)."""
+        self.stop_requested.set()
+        self.paused.clear()
 
     def reset(self):
         """Full system reset (MainController::reset, :267-319)."""

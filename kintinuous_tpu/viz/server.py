@@ -1,0 +1,259 @@
+"""Live web viewer — the PangoVis role without a display.
+
+The reference's PangoVis (src/PangoVis.{h,cpp}) is a Pangolin GL window
+drawing the deformed map / slice clouds, trajectory frusta, four image
+panes and a stats panel, with buttons proxying into MainController
+(complete/save/reset/pause, PangoVis.cpp:533-556). Headless TPU hosts
+have no GL, so the same signals are served over HTTP from a background
+thread and rendered by a fully self-contained browser page (no external
+JS dependencies — the point cloud is drawn on a 2D canvas with a
+software perspective projection and mouse orbit):
+
+    GET  /            viewer page
+    GET  /state.json  stats panel + trajectory (PangoVis.cpp:584-600)
+    GET  /cloud.bin   decimated global map [n, x y z f32, r g b u8 pad]
+    POST /control     {"cmd": complete|save|reset|pause} proxies
+                      (MainController.cpp:233-361)
+
+The viewer polls state.json at ~2 Hz and refetches the cloud when the
+map grows. Start with `ViewerServer(engine)` or the CLI's
+`--viz-port` flag.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+MAX_VIEW_POINTS = 300_000
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>kintinuous_tpu</title>
+<style>
+ body{margin:0;background:#0b0e14;color:#cdd6f4;font:13px monospace;overflow:hidden}
+ #hud{position:fixed;top:8px;left:8px;background:#0b0e14cc;padding:8px 12px;
+      border:1px solid #2a2f3a;border-radius:6px;white-space:pre}
+ #bar{position:fixed;top:8px;right:8px}
+ button{background:#1c2330;color:#cdd6f4;border:1px solid #2a2f3a;
+        border-radius:4px;padding:4px 10px;margin-left:6px;font:12px monospace;cursor:pointer}
+ button:hover{background:#2a3342}
+ canvas{display:block}
+</style></head><body>
+<canvas id="c"></canvas>
+<div id="hud">connecting…</div>
+<div id="bar">
+ <button onclick="ctl('pause')">pause</button>
+ <button onclick="ctl('complete')">complete</button>
+ <button onclick="ctl('save')">save</button>
+ <button onclick="ctl('reset')">reset</button>
+</div>
+<script>
+const cv=document.getElementById('c'),cx=cv.getContext('2d');
+let W,H;function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight}rs();onresize=rs;
+let pts=null,cols=null,traj=[],nCloud=0;
+let yaw=-0.6,pitch=-0.4,dist=6,tgt=[0,0,0],drag=0,lx=0,ly=0;
+cv.onmousedown=e=>{drag=e.button===0?1:2;lx=e.clientX;ly=e.clientY};
+onmouseup=()=>drag=0;
+onmousemove=e=>{if(!drag)return;const dx=e.clientX-lx,dy=e.clientY-ly;lx=e.clientX;ly=e.clientY;
+ if(drag===1){yaw+=dx*0.005;pitch+=dy*0.005}else{
+  const s=dist*0.002;tgt[0]-=dx*s*Math.cos(yaw);tgt[2]-=dx*s*Math.sin(yaw);tgt[1]+=dy*s}};
+cv.oncontextmenu=e=>e.preventDefault();
+onwheel=e=>{dist*=Math.exp(e.deltaY*0.001);dist=Math.max(0.5,Math.min(80,dist))};
+function draw(){
+ cx.fillStyle='#0b0e14';cx.fillRect(0,0,W,H);
+ const cp=Math.cos(pitch),sp=Math.sin(pitch),cy_=Math.cos(yaw),sy=Math.sin(yaw);
+ const ex=tgt[0]+dist*cp*sy, ey=tgt[1]+dist*sp, ez=tgt[2]+dist*cp*cy_;
+ // camera basis
+ let fz=[tgt[0]-ex,tgt[1]-ey,tgt[2]-ez];const fl=Math.hypot(...fz);fz=fz.map(v=>v/fl);
+ let rx=[fz[2],0,-fz[0]];const rl=Math.hypot(...rx)||1;rx=rx.map(v=>v/rl);
+ const up=[rx[1]*fz[2]-rx[2]*fz[1],rx[2]*fz[0]-rx[0]*fz[2],rx[0]*fz[1]-rx[1]*fz[0]];
+ const f=0.9*H;
+ function prj(x,y,z){
+  x-=ex;y-=ey;z-=ez;
+  const cz=x*fz[0]+y*fz[1]+z*fz[2];
+  if(cz<0.05)return null;
+  return [W/2+f*(x*rx[0]+y*rx[1]+z*rx[2])/cz, H/2-f*(x*up[0]+y*up[1]+z*up[2])/cz];
+ }
+ if(pts){const id=cx.getImageData(0,0,W,H),d=id.data;
+  for(let i=0;i<nCloud;i++){
+   const p=prj(pts[3*i],pts[3*i+1],pts[3*i+2]);if(!p)continue;
+   const px=p[0]|0,py=p[1]|0;if(px<0||py<0||px>=W||py>=H)continue;
+   const o=4*(py*W+px);d[o]=cols[3*i];d[o+1]=cols[3*i+1];d[o+2]=cols[3*i+2];d[o+3]=255;}
+  cx.putImageData(id,0,0);}
+ if(traj.length>1){cx.strokeStyle='#7dd3a0';cx.lineWidth=1.5;cx.beginPath();let m=0;
+  for(const q of traj){const p=prj(q[0],q[1],q[2]);if(!p){m=0;continue}
+   m?cx.lineTo(p[0],p[1]):cx.moveTo(p[0],p[1]);m=1}cx.stroke();
+  const last=traj[traj.length-1],p=prj(last[0],last[1],last[2]);
+  if(p){cx.fillStyle='#f38ba8';cx.beginPath();cx.arc(p[0],p[1],4,0,7);cx.fill()}}
+ requestAnimationFrame(draw);
+}
+requestAnimationFrame(draw);
+async function ctl(cmd){await fetch('/control',{method:'POST',body:JSON.stringify({cmd})});}
+let lastN=-1;
+async function poll(){
+ try{
+  const s=await (await fetch('/state.json')).json();
+  document.getElementById('hud').textContent=
+   `frame   ${s.frame}\\nfps     ${s.fps.toFixed(1)}\\npoints  ${s.n_points}`+
+   `\\nslices  ${s.n_slices}\\nloops   ${s.n_loops}\\nlag     ${s.backend_lag_s.toFixed(2)} s`+
+   `\\nstatus  ${s.status}`;
+  traj=s.traj;
+  if(s.n_points!==lastN){lastN=s.n_points;
+   const b=await (await fetch('/cloud.bin')).arrayBuffer();
+   const n=new Uint32Array(b,0,1)[0];
+   pts=new Float32Array(b,4,n*3);
+   cols=new Uint8Array(b,4+12*n,n*3);nCloud=n;
+   if(n>0&&traj.length===0){tgt=[pts[0],pts[1],pts[2]]}}
+ }catch(e){}
+ setTimeout(poll,500);
+}
+poll();
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Serves the live viewer for a SlamEngine on a background thread."""
+
+    def __init__(self, engine, port: int = 8090, host: str = "127.0.0.1"):
+        self.engine = engine
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence per-request stderr spam
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/" or self.path.startswith("/index"):
+                    self._send(200, "text/html", _PAGE.encode())
+                elif self.path.startswith("/state.json"):
+                    self._send(
+                        200, "application/json",
+                        json.dumps(viewer.state()).encode(),
+                    )
+                elif self.path.startswith("/cloud.bin"):
+                    self._send(
+                        200, "application/octet-stream", viewer.cloud_bin()
+                    )
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                if self.path.startswith("/control"):
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        cmd = json.loads(self.rfile.read(n)).get("cmd", "")
+                    except Exception:
+                        cmd = ""
+                    ok = viewer.control(cmd)
+                    self._send(
+                        200, "application/json",
+                        json.dumps({"ok": ok, "cmd": cmd}).encode(),
+                    )
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_port
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------ data
+    def state(self) -> dict:
+        e = self.engine
+        slices = e.slice_proc.processed
+        n_points = sum(len(s.processed["points"]) for s in slices if s.processed)
+        n_loops = (
+            e.deformation.n_loops_accepted if e.deformation is not None else 0
+        )
+        poses = e.tracker.poses
+        step = max(1, len(poses) // 2000)
+        traj = [
+            [float(T[0, 3]), float(T[1, 3]), float(T[2, 3])]
+            for T in poses[::step]
+        ]
+        lag = 0.0
+        stats = e.sw.stats()
+        if "SliceProcessor" in stats:
+            lag = stats["SliceProcessor"].get("mean_ms", 0.0) / 1e3
+        status = "paused" if getattr(e, "paused", None) and e.paused.is_set() \
+            else ("finished" if e._end_of_log.is_set() else "tracking")
+        return {
+            "frame": len(poses),
+            "fps": e.fps,
+            "n_points": int(n_points),
+            "n_slices": len(slices),
+            "n_loops": int(n_loops),
+            "backend_lag_s": lag,
+            "status": status,
+            "traj": traj,
+        }
+
+    def cloud_bin(self) -> bytes:
+        """[u32 n][f32 xyz * n][u8 rgb * n] of the decimated global map
+        (deformed pool when loops were applied, else processed slices)."""
+        e = self.engine
+        pts_list, col_list = [], []
+        if e.deformation is not None and e.deformation.n_loops_accepted:
+            pool = e.deformation.pool_points()
+            if pool is not None and len(pool[0]):
+                pts_list, col_list = [pool[0]], [pool[1]]
+        if not pts_list:
+            for s in e.slice_proc.processed:
+                if s.processed is not None and len(s.processed["points"]):
+                    pts_list.append(s.processed["points"])
+                    col_list.append(s.processed["colors"])
+        if not pts_list:
+            return struct.pack("<I", 0)
+        pts = np.concatenate(pts_list).astype(np.float32)
+        cols = np.concatenate(col_list).astype(np.uint8)
+        if len(pts) > MAX_VIEW_POINTS:
+            idx = np.random.default_rng(0).choice(
+                len(pts), MAX_VIEW_POINTS, replace=False
+            )
+            pts, cols = pts[idx], cols[idx]
+        return (
+            struct.pack("<I", len(pts))
+            + pts.tobytes()
+            + cols[:, :3].tobytes()
+        )
+
+    # --------------------------------------------------------- control
+    def control(self, cmd: str) -> bool:
+        e = self.engine
+        if cmd == "complete":
+            e.complete()
+            return True
+        if cmd == "save":
+            threading.Thread(target=e.save, daemon=True).start()
+            return True
+        if cmd == "reset":
+            threading.Thread(target=e.reset, daemon=True).start()
+            return True
+        if cmd == "pause":
+            if hasattr(e, "paused"):
+                if e.paused.is_set():
+                    e.paused.clear()
+                else:
+                    e.paused.set()
+                return True
+            return False
+        return False
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=3.0)

@@ -1,0 +1,70 @@
+"""Web viewer server: endpoints + control proxies (PangoVis role)."""
+
+import json
+import struct
+import urllib.request
+
+import numpy as np
+
+from kintinuous_tpu.config import tiny_test_config
+from kintinuous_tpu.io.synth import Scene, orbit_trajectory, render_frame
+from kintinuous_tpu.runtime.engine import SlamEngine
+from kintinuous_tpu.viz.server import ViewerServer
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+        return r.read()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return json.loads(r.read())
+
+
+def test_viewer_endpoints(tmp_path):
+    cfg = tiny_test_config(voxel_shift=4, save_file=str(tmp_path / "v"))
+    cam = cfg.camera
+    eng = SlamEngine(cfg)
+    viewer = ViewerServer(eng, port=0)  # ephemeral port
+    try:
+        # feed a few frames (sideways walk forces a shift + slices)
+        poses = orbit_trajectory(6, radius=0.4, angle_deg=0.0)
+        for i, T in enumerate(poses):
+            d, c = render_frame(Scene.default(), cam, T)
+            eng.tracker.process_frame(np.asarray(d), np.asarray(c), i * 33333)
+        eng.tracker.flush()
+        # drain slices synchronously (no worker threads in this test)
+        while not eng.slice_q.empty():
+            eng.slice_proc.process(eng.slice_q.get())
+
+        page = _get(viewer.port, "/").decode()
+        assert "<canvas" in page and "cloud.bin" in page
+
+        st = json.loads(_get(viewer.port, "/state.json"))
+        assert st["frame"] == 6
+        assert len(st["traj"]) == 6
+        assert st["status"] in ("tracking", "finished")
+
+        blob = _get(viewer.port, "/cloud.bin")
+        (n,) = struct.unpack("<I", blob[:4])
+        assert len(blob) == 4 + n * 12 + n * 3
+        if n:
+            pts = np.frombuffer(blob[4 : 4 + 12 * n], np.float32).reshape(n, 3)
+            assert np.isfinite(pts).all()
+
+        # control proxies
+        assert _post(viewer.port, "/control", {"cmd": "pause"})["ok"]
+        assert eng.paused.is_set()
+        assert _post(viewer.port, "/control", {"cmd": "pause"})["ok"]
+        assert not eng.paused.is_set()
+        assert _post(viewer.port, "/control", {"cmd": "complete"})["ok"]
+        assert eng.stop_requested.is_set()
+        assert not _post(viewer.port, "/control", {"cmd": "bogus"})["ok"]
+    finally:
+        viewer.close()
