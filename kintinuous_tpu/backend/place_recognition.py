@@ -42,9 +42,15 @@ from kintinuous_tpu.backend.slice_proc import voxel_downsample
 from kintinuous_tpu.eval.ate import align_umeyama
 
 
+PR_RING = 3000  # keyframe ring capacity (KintinuousTracker.h:142-143)
+
+
 @dataclass
 class Keyframe:
-    """PR keyframe (reference PlaceRecognitionInput.h)."""
+    """PR keyframe. Depth is stored zlib-compressed uint16 mm exactly as
+    the reference compresses keyframes to bound the 3000-slot ring's
+    memory (PlaceRecognitionInput.h:72-140): ~60 KB/keyframe instead of
+    a 1.2 MB float map; decompressed only for verification ICP."""
 
     kf_id: int
     timestamp_us: int
@@ -52,7 +58,19 @@ class Keyframe:
     keypoints: np.ndarray  # (N,2)
     descriptors: np.ndarray  # (N,32)
     points3d: np.ndarray  # (N,3) camera-frame backprojections (NaN invalid)
-    depth_m: np.ndarray  # (H,W) float32 (kept for verification ICP)
+    depth_z: bytes  # zlib(uint16 depth mm)
+    depth_shape: tuple
+
+    @property
+    def depth_m(self) -> np.ndarray:
+        import zlib
+
+        return (
+            np.frombuffer(zlib.decompress(self.depth_z), np.uint16)
+            .reshape(self.depth_shape)
+            .astype(np.float32)
+            / 1000.0
+        )
 
 
 @dataclass
@@ -189,6 +207,7 @@ class PlaceRecognition:
         self.vocab = vocab
         self.db: Optional[BowDatabase] = None
         self.keyframes: List[Keyframe] = []
+        self._next_kf_id = 0
         self.constraints: List[LoopConstraint] = []
         self._pending_desc: List[np.ndarray] = []
         self._last_loop_time_us = -int(1e18)
@@ -226,16 +245,23 @@ class PlaceRecognition:
         gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
         kps, desc = detect_orb(gray)
         pts3d = backproject(self.cam, depth_m, kps) if len(kps) else np.zeros((0, 3))
+        import zlib
+
+        depth_mm = np.clip(depth_m * 1000.0, 0, 65535).astype(np.uint16)
         kf = Keyframe(
-            kf_id=len(self.keyframes),
+            kf_id=self._next_kf_id,
             timestamp_us=timestamp_us,
             pose=pose.copy(),
             keypoints=kps,
             descriptors=desc,
             points3d=pts3d,
-            depth_m=depth_m.astype(np.float32),
+            depth_z=zlib.compress(depth_mm.tobytes(), 1),
+            depth_shape=depth_mm.shape,
         )
+        self._next_kf_id += 1
         self.keyframes.append(kf)
+        if len(self.keyframes) > PR_RING:  # ring semantics (:142-143)
+            self.keyframes = self.keyframes[-PR_RING:]
         self._pending_desc.append(desc)
 
         if not self._ensure_db():
@@ -262,7 +288,10 @@ class PlaceRecognition:
         # loop throttle (PlaceRecognition.cpp:118-123)
         if timestamp_us - self._last_loop_time_us < self.cfg.loop_throttle_s * 1e6:
             return None
-        constraint = self._verify(self.keyframes[cand_id], kf)
+        base = self._next_kf_id - len(self.keyframes)
+        if cand_id < base:  # candidate fell off the ring
+            return None
+        constraint = self._verify(self.keyframes[cand_id - base], kf)
         if constraint is not None:
             self._last_loop_time_us = timestamp_us
             self.constraints.append(constraint)

@@ -1,7 +1,7 @@
 """Command-line interface.
 
-Flag-for-flag compatible with the reference CLI where meaningful
-(src/utils/ConfigArgs.h:36-74, README.md:132-161):
+Flag-for-flag compatible with the reference CLI
+(src/utils/ConfigArgs.h:124-160, README.md:132-161):
 
     -l  <log.klg>      RawLogReader input
     -live <addr>       live capture socket (LiveLogReader role)
@@ -9,23 +9,33 @@ Flag-for-flag compatible with the reference CLI where meaningful
     -v  <vocab.npy>    BoW vocabulary file
     -c  <calib>        calibration: "fx fy cx cy [w h]" text file
     -s  <m>            volume size (default 6)
-    -vs <voxels>       shift threshold (default 14)
+    -t  <voxels>       shift threshold in voxels (default 14, clamp 1-16)
     -n  <frames>       frame limit
-    -t  <m>            truncation distance
-    -cu <n>            extracted-point weight cull (default 8)
-    -f                 frame rate limiter (30 Hz throttle)
+    -cw <n>            extracted-point weight cull (default 8)
+    -lt <s>            loop throttle seconds (default 30)
+    -dg <m>            dense sampling rate for the deformation graph
+    -il <ratio>        PnP/registration inlier-ratio gate (default 0.35)
+    -it <thresh>       pose-graph residual gate (default 10)
+    -f                 flip RGB/BGR colours at ingest
     -sm                static mode (no shifting)
     -m                 mesh output
     -od                online deformation (loop closure)
+    -no                disable shift-overlap extraction
+    -nos               disable overlap removal on save
     -r                 RGB-D odometry
     -ri                fused ICP + RGB-D odometry
     -ftf               frame-to-frame RGB-D
-    -fo                fast odometry
+    -fod               fast odometry
     -fl                fast loops (pose subsampling)
-    -dc                dynamic cube positioning
+    -d                 dynamic cube positioning
+    -dc                disable colour view-angle weighting
     -o  <basename>     output basename (default "output")
 
-Usage: python -m kintinuous_tpu.cli -l seq.klg -m -od -o mymap
+Extras beyond the reference: --fast (TPU blocked fast path),
+--resolution, --trunc, --viz-port (web viewer), --frame-limit (30 Hz
+throttle).
+
+Usage: python -m kintinuous_tpu.cli -l seq.klg -v vocab.npy -m -od -o mymap
 """
 
 from __future__ import annotations
@@ -64,21 +74,29 @@ def build_config(argv) -> KintinuousConfig:
     p.add_argument("-v", dest="vocab_file")
     p.add_argument("-c", dest="calibration")
     p.add_argument("-s", dest="volume_size", type=float, default=6.0)
-    p.add_argument("-vs", dest="voxel_shift", type=int, default=14)
+    p.add_argument("-t", dest="voxel_shift", type=int, default=14)
     p.add_argument("-n", dest="total_num_frames", type=int, default=-1)
-    p.add_argument("-t", dest="trunc_dist", type=float, default=0.03)
-    p.add_argument("-cu", dest="weight_cull", type=int, default=8)
-    p.add_argument("-f", dest="frame_limit", action="store_true")
+    p.add_argument("-cw", dest="weight_cull", type=int, default=8)
+    p.add_argument("-lt", dest="loop_throttle", type=float, default=30.0)
+    p.add_argument("-dg", dest="dense_sampling", type=float, default=0.8)
+    p.add_argument("-il", dest="inlier_ratio", type=float, default=0.35)
+    p.add_argument("-it", dest="isam_thresh", type=float, default=10.0)
+    p.add_argument("-f", dest="flip_colors", action="store_true")
     p.add_argument("-sm", dest="static_mode", action="store_true")
     p.add_argument("-m", dest="mesh", action="store_true")
     p.add_argument("-od", dest="online_deformation", action="store_true")
+    p.add_argument("-no", dest="no_overlap", action="store_true")
+    p.add_argument("-nos", dest="no_save_overlap", action="store_true")
     p.add_argument("-r", dest="rgbd", action="store_true")
     p.add_argument("-ri", dest="rgbd_icp", action="store_true")
     p.add_argument("-ftf", dest="ftf", action="store_true")
-    p.add_argument("-fo", dest="fast_odometry", action="store_true")
+    p.add_argument("-fod", dest="fast_odometry", action="store_true")
     p.add_argument("-fl", dest="fast_loops", action="store_true")
-    p.add_argument("-dc", dest="dynamic_cube", action="store_true")
+    p.add_argument("-d", dest="dynamic_cube", action="store_true")
+    p.add_argument("-dc", dest="no_color_angle", action="store_true")
     p.add_argument("-o", dest="save_file", default="output")
+    p.add_argument("--trunc", dest="trunc_dist", type=float, default=0.03)
+    p.add_argument("--frame-limit", dest="frame_limit", action="store_true")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument(
         "--viz-port", dest="viz_port", type=int, default=None,
@@ -105,6 +123,13 @@ def build_config(argv) -> KintinuousConfig:
         total_num_frames=a.total_num_frames,
         trunc_dist=a.trunc_dist,
         weight_cull=a.weight_cull,
+        loop_throttle_s=a.loop_throttle,
+        dense_sampling_rate=a.dense_sampling,
+        inlier_ratio=a.inlier_ratio,
+        isam_thresh=a.isam_thresh,
+        flip_colors=a.flip_colors,
+        shift_overlap=0 if a.no_overlap else 3,
+        save_deoverlap=not a.no_save_overlap,
         frame_rate_limit=30.0 if a.frame_limit else None,
         static_mode=a.static_mode,
         mesh=a.mesh,

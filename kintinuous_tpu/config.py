@@ -84,6 +84,10 @@ class KintinuousConfig:
     # --- camera ---
     camera: CameraIntrinsics = field(default_factory=CameraIntrinsics)
     depth_scale: float = 1000.0  # raw uint16 units per metre
+    flip_colors: bool = False  # input is BGR (-f, RawLogReader.cpp:122-130)
+    # remove shift-overlap duplicates when saving (-nos disables;
+    # CloudSliceProcessor::save deoverlap, :180-231)
+    save_deoverlap: bool = True
     max_depth: float = 6.0  # metres (reference: RGBDOdometry.cpp:39)
 
     # --- volume ---
@@ -130,7 +134,7 @@ class KintinuousConfig:
     # GN steps per projective association in fast mode (1 = associate
     # every iteration like the reference; the association gather is
     # ~6x the cost of the elementwise system build on TPU)
-    icp_reassoc_every: int = 2
+    icp_reassoc_every: int = 3
     rgbd_max_depth_delta: float = 0.07  # metres (RGBDOdometry.cpp:40)
     rgbd_jump_reject: float = 0.3  # metres (RGBDOdometry.cpp:383-387)
     rgbd_icp_weight: float = 10.0  # fused-solve ICP weight (RGBDOdometry.cpp:316-321)
@@ -140,6 +144,9 @@ class KintinuousConfig:
     raycast_min_range: float = 0.3  # metres
     raycast_max_range: Optional[float] = None  # default: volume diagonal
     raycast_coarse_block: int = 8  # coarse occupancy downsample factor
+    # Pallas raycast: Newton refinement steps after the linear-interp
+    # crossing (each costs 4 trilinear tap matmuls per tile)
+    raycast_newton_iters: int = 1
 
     # --- preprocessing ---
     bilateral_sigma_depth: float = 30.0  # mm (bilateral_pyrdown.cu:56)

@@ -272,7 +272,11 @@ def _carve_pallas(t3, c3, ids, n, max_weight, interpret=False):
 
 
 class PallasBandLists(NamedTuple):
-    pallas_ids: jnp.ndarray  # (band_cap,) i32 — tier-1 patch fits
+    t0_ids: jnp.ndarray  # (band_cap,) i32 — small (48-row) patch fits
+    t0_y0: jnp.ndarray
+    t0_x0: jnp.ndarray
+    n_t0: jnp.ndarray
+    pallas_ids: jnp.ndarray  # (t1_cap,) i32 — tier-1 patch fits
     pallas_y0: jnp.ndarray
     pallas_x0: jnp.ndarray
     n_pallas: jnp.ndarray  # () i32
@@ -295,10 +299,12 @@ def _plan_blocks(
     trunc_dist: float,
     R: int,
     band_cap: int,
+    t1_cap: int,
     t2_cap: int,
     fb_cap: int,
     free_cap: int,
     Hp: int,
+    PH0: int,
     PH: int,
     PW: int,
     PH2: int,
@@ -376,38 +382,46 @@ def _plan_blocks(
         )
         return yy, xx, ok
 
+    y0z, x0z, fits0 = corner_fits(PH0, PW)
     y0a, x0a, fits1 = corner_fits(PH, PW)
     y0b, x0b, fits2 = corner_fits(PH2, PW2)
 
     cf = cls.reshape(-1)
     band = cf == BAND
-    t1_mask = band & fits1.reshape(-1)
-    t2_mask = band & jnp.logical_not(fits1.reshape(-1)) & fits2.reshape(-1)
-    fb_mask = band & jnp.logical_not(fits1.reshape(-1)) & jnp.logical_not(
-        fits2.reshape(-1)
+    t0_mask = band & fits0.reshape(-1)
+    t1_mask = band & jnp.logical_not(fits0.reshape(-1)) & fits1.reshape(-1)
+    rest = band & jnp.logical_not(fits0.reshape(-1)) & jnp.logical_not(
+        fits1.reshape(-1)
     )
+    t2_mask = rest & fits2.reshape(-1)
+    fb_mask = rest & jnp.logical_not(fits2.reshape(-1))
     fr_mask = cf == FREE
-    # tier-2 blocks take tier-2 corners; everything else tier-1 corners
     use2 = t2_mask.reshape(cls.shape)
-    y0f = jnp.where(use2, y0b, y0a).reshape(-1)
-    x0f = jnp.where(use2, x0b, x0a).reshape(-1)
+    use0 = t0_mask.reshape(cls.shape)
+    y0f = jnp.where(use0, y0z, jnp.where(use2, y0b, y0a)).reshape(-1)
+    x0f = jnp.where(use0, x0z, jnp.where(use2, x0b, x0a)).reshape(-1)
     all_ids = jnp.arange(B * B * B, dtype=jnp.int32)
 
+    i0 = jnp.cumsum(t0_mask.astype(jnp.int32)) - 1
     i1 = jnp.cumsum(t1_mask.astype(jnp.int32)) - 1
     i2 = jnp.cumsum(t2_mask.astype(jnp.int32)) - 1
     i3 = jnp.cumsum(fb_mask.astype(jnp.int32)) - 1
     i4 = jnp.cumsum(fr_mask.astype(jnp.int32)) - 1
-    o2 = band_cap
+    o1 = band_cap
+    o2 = o1 + t1_cap
     o3 = o2 + t2_cap
     o4 = o3 + fb_cap
     total = o4 + free_cap
     dest = jnp.where(
-        t1_mask & (i1 < band_cap), i1,
+        t0_mask & (i0 < band_cap), i0,
         jnp.where(
-            t2_mask & (i2 < t2_cap), o2 + i2,
+            t1_mask & (i1 < t1_cap), o1 + i1,
             jnp.where(
-                fb_mask & (i3 < fb_cap), o3 + i3,
-                jnp.where(fr_mask & (i4 < free_cap), o4 + i4, total),
+                t2_mask & (i2 < t2_cap), o2 + i2,
+                jnp.where(
+                    fb_mask & (i3 < fb_cap), o3 + i3,
+                    jnp.where(fr_mask & (i4 < free_cap), o4 + i4, total),
+                ),
             ),
         ),
     )
@@ -415,10 +429,14 @@ def _plan_blocks(
     y0s = jnp.zeros((total,), jnp.int32).at[dest].set(y0f, mode="drop")
     x0s = jnp.zeros((total,), jnp.int32).at[dest].set(x0f, mode="drop")
     return PallasBandLists(
-        pallas_ids=ids[:o2],
-        pallas_y0=y0s[:o2],
-        pallas_x0=x0s[:o2],
-        n_pallas=jnp.minimum(t1_mask.sum(), band_cap),
+        t0_ids=ids[:o1],
+        t0_y0=y0s[:o1],
+        t0_x0=x0s[:o1],
+        n_t0=jnp.minimum(t0_mask.sum(), band_cap),
+        pallas_ids=ids[o1:o2],
+        pallas_y0=y0s[o1:o2],
+        pallas_x0=x0s[o1:o2],
+        n_pallas=jnp.minimum(t1_mask.sum(), t1_cap),
         t2_ids=ids[o2:o3],
         t2_y0=y0s[o2:o3],
         t2_x0=x0s[o2:o3],
@@ -535,6 +553,7 @@ def integrate_pallas(
     trunc_dist: float,
     max_weight: float = 128.0,
     band_cap: int = 8192,
+    t1_cap: int = 4096,
     t2_cap: int = 1024,
     fb_cap: int = 128,
     free_cap: int = 12288,
@@ -544,12 +563,14 @@ def integrate_pallas(
     R = B * BLOCK
     H, W = depth_m.shape
     Hp, Wp, PH, PW = _patch_dims(H, W)
+    PH0 = min(48, Hp)
     PH2 = min(224, Hp)
     PW2 = min(512, Wp)
     tables = build_depth_tables(cam, depth_m, rgb, disc_mask)
     plan = _plan_blocks(
         vol, cam, tables, T_cam_to_local, voxel_size, trunc_dist, R,
-        band_cap, t2_cap, fb_cap, free_cap, Hp, PH, PW, PH2, PW2,
+        band_cap, t1_cap, t2_cap, fb_cap, free_cap,
+        Hp, PH0, PH, PW, PH2, PW2,
     )
     img = _build_images(cam, depth_m, rgb, disc_mask, Hp, Wp)
 
@@ -601,6 +622,9 @@ def integrate_pallas(
             interpret=interpret,
         )(ids, y0s, x0s, params, img, t3, c3)
 
+    t3, c3 = run_tier(
+        t3, c3, plan.n_t0, plan.t0_ids, plan.t0_y0, plan.t0_x0, PH0, PW,
+    )
     t3, c3 = run_tier(
         t3, c3, plan.n_pallas, plan.pallas_ids, plan.pallas_y0,
         plan.pallas_x0, PH, PW,

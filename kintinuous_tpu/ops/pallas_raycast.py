@@ -145,7 +145,7 @@ def _raycast_kernel(
     # scratch
     vreg, sem,
     *, ntx: int, ext: Tuple[int, int, int], window: int,
-    step: float, trunc: float,
+    step: float, trunc: float, newton: int,
 ):
     EZ, EY, EX = ext
     i = pl.program_id(0)
@@ -300,18 +300,18 @@ def _raycast_kernel(
                 prev_t = tk
             found = found & ok_all
 
-            # ---- Newton refinement (2 iterations) --------------------
+            # ---- Newton refinement -----------------------------------
             gxv = jnp.zeros((1, P), jnp.float32)
             gyv = jnp.zeros((1, P), jnp.float32)
             gzv = jnp.zeros((1, P), jnp.float32)
-            for _ in range(2):
+            for _ in range(newton):
                 val, inreg, gxv, gyv, gzv = tap(t_hit, True)
                 found = found & inreg
                 dval_dt = (gxv * dnx + gyv * dny + gzv * dnz) * inv_vsz
-                newton = jnp.where(
+                nstep = jnp.where(
                     jnp.abs(dval_dt) > 1e-6, val / dval_dt, 0.0
                 )
-                t_hit = t_hit - jnp.clip(newton, -2.0 * trunc, 2.0 * trunc)
+                t_hit = t_hit - jnp.clip(nstep, -2.0 * trunc, 2.0 * trunc)
 
             t_ref[hp : hp + 1, :] = jnp.where(found, t_hit, 0.0)
             found_ref[hp : hp + 1, :] = found.astype(jnp.float32)
@@ -372,6 +372,7 @@ def raycast_pallas(
     volume_size: float,
     trunc_dist: float,
     window: int = 6,
+    newton: int = 2,
     interpret: bool = False,
 ) -> FastRaycastResult:
     h, w = cam.height, cam.width
@@ -472,7 +473,7 @@ def raycast_pallas(
 
     kern = functools.partial(
         _raycast_kernel, ntx=ntx, ext=ext, window=window,
-        step=float(step), trunc=float(trunc_dist),
+        step=float(step), trunc=float(trunc_dist), newton=newton,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

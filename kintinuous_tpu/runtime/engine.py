@@ -172,12 +172,15 @@ class SlamEngine:
             for frame in reader:
                 t0 = time.perf_counter()
                 delta = gt.delta(frame.timestamp) if gt is not None else None
+                rgb = frame.rgb
+                if cfg.flip_colors and rgb is not None:
+                    rgb = rgb[..., ::-1]  # BGR logs (-f, RawLogReader.cpp:122-130)
                 with self.sw.span("processFrame"):
                     self.tracker.process_frame(
-                        frame.depth, frame.rgb, frame.timestamp, ext_delta=delta
+                        frame.depth, rgb, frame.timestamp, ext_delta=delta
                     )
                 self._frames_done += 1
-                pending.append((frame.depth, frame.rgb, frame.timestamp))
+                pending.append((frame.depth, rgb, frame.timestamp))
                 self._publish(pending)
                 if progress:
                     progress(self._frames_done, reader.total_num_frames)
@@ -238,6 +241,8 @@ class SlamEngine:
                 ) as r:
                     buf = []
                     for fr in r:
+                        if cfg.flip_colors and fr.rgb is not None:
+                            fr.rgb = np.ascontiguousarray(fr.rgb[..., ::-1])
                         buf.append(fr)
                         if len(buf) == batch:
                             yield (
@@ -390,7 +395,7 @@ class SlamEngine:
             save_trajectory(out["poses"], [t / 1e6 for t in ts], poses)
         else:
             out["cloud"] = f"{base}.pcd"
-            self.slice_proc.save(out["cloud"])
+            self.slice_proc.save(out["cloud"], deoverlap=self.cfg.save_deoverlap)
             out["poses"] = f"{base}.poses"
             save_trajectory(
                 out["poses"],

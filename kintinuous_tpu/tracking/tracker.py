@@ -524,6 +524,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             rc = raycast_pallas(
                 vol, cam_half, pose, None, depth_half, vsz,
                 cfg.volume_size, cfg.trunc_dist,
+                newton=cfg.raycast_newton_iters,
             )
         else:
             rc = raycast_fast(
