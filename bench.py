@@ -46,7 +46,7 @@ def main():
         return k if k < n_unique else period - k
 
     tracker = Tracker(cfg)
-    batch = 16
+    batch = 32
     # warm-up: first frame (ext path) + one batch (compiles batched step)
     tracker.process_frames(
         [(frames[pingpong(i)][0], frames[pingpong(i)][1], i * 33333)

@@ -50,8 +50,11 @@ def _region_extents(R: int) -> Tuple[int, int, int]:
 
     x is the lane dimension: HBM slices must start at multiples of 128
     there, so the x extent is 256 — any <=120-voxel x-range then fits a
-    128-aligned window wherever it lands."""
-    return min(48, R), min(48, R), min(256, R)
+    128-aligned window wherever it lands. z/y extents must cover the
+    window span (~11 voxels at default trunc) + the tile's angular
+    spread (~8 voxels/side at 3 m); tiles whose segment exceeds the
+    region fall back to measurement maps for a frame."""
+    return min(40, R), min(40, R), min(256, R)
 
 
 def _deblock_kernel(in_ref, s_ref, e_ref, out_ref, *, byh: int, B: int):
@@ -371,7 +374,7 @@ def raycast_pallas(
     voxel_size: float,
     volume_size: float,
     trunc_dist: float,
-    window: int = 6,
+    window: int = 5,
     newton: int = 2,
     interpret: bool = False,
 ) -> FastRaycastResult:

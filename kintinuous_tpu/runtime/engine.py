@@ -102,6 +102,7 @@ class SlamEngine:
         self._last_kf_pose: Optional[np.ndarray] = None
         self._frames_done = 0
         self._t_start = 0.0
+        self.last_frame = None  # (depth_u16, rgb_u8) for viewer panes
 
     # ----------------------------------------------------------- stages
     def _slice_stage(self) -> bool:
@@ -175,6 +176,7 @@ class SlamEngine:
                 rgb = frame.rgb
                 if cfg.flip_colors and rgb is not None:
                     rgb = rgb[..., ::-1]  # BGR logs (-f, RawLogReader.cpp:122-130)
+                self.last_frame = (frame.depth, rgb)
                 with self.sw.span("processFrame"):
                     self.tracker.process_frame(
                         frame.depth, rgb, frame.timestamp, ext_delta=delta
@@ -300,6 +302,7 @@ class SlamEngine:
                 host_frames.append((d0, c0, ts0))
             else:
                 _, up, ds, cs, total = item
+                self.last_frame = (ds[-1], cs[-1])
                 with self.sw.span("processFrame"):
                     self.tracker.process_batch_device(*up)
                 self._frames_done += len(up[2])

@@ -12,6 +12,7 @@ software perspective projection and mouse orbit):
     GET  /            viewer page
     GET  /state.json  stats panel + trajectory (PangoVis.cpp:584-600)
     GET  /cloud.bin   decimated global map [n, x y z f32, r g b u8 pad]
+    GET  /pane/{rgb|depth|model|model_depth}.png   the four image panes
     POST /control     {"cmd": complete|save|reset|pause} proxies
                       (MainController.cpp:233-361)
 
@@ -46,6 +47,12 @@ _PAGE = """<!doctype html>
 </style></head><body>
 <canvas id="c"></canvas>
 <div id="hud">connecting…</div>
+<div id="panes" style="position:fixed;bottom:8px;left:8px">
+ <img id="p_rgb" width="160" style="border:1px solid #2a2f3a;margin-right:4px">
+ <img id="p_depth" width="160" style="border:1px solid #2a2f3a;margin-right:4px">
+ <img id="p_model" width="160" style="border:1px solid #2a2f3a;margin-right:4px">
+ <img id="p_model_depth" width="160" style="border:1px solid #2a2f3a">
+</div>
 <div id="bar">
  <button onclick="ctl('pause')">pause</button>
  <button onclick="ctl('complete')">complete</button>
@@ -103,6 +110,8 @@ async function poll(){
    `\\nslices  ${s.n_slices}\\nloops   ${s.n_loops}\\nlag     ${s.backend_lag_s.toFixed(2)} s`+
    `\\nstatus  ${s.status}`;
   traj=s.traj;
+  for(const nm of ['rgb','depth','model','model_depth'])
+   document.getElementById('p_'+nm).src='/pane/'+nm+'.png?t='+Date.now();
   if(s.n_points!==lastN){lastN=s.n_points;
    const b=await (await fetch('/cloud.bin')).arrayBuffer();
    const n=new Uint32Array(b,0,1)[0];
@@ -146,6 +155,13 @@ class ViewerServer:
                     self._send(
                         200, "application/octet-stream", viewer.cloud_bin()
                     )
+                elif self.path.startswith("/pane/"):
+                    name = self.path.split("/pane/")[1].split(".")[0]
+                    png = viewer.pane_png(name)
+                    if png is None:
+                        self._send(404, "text/plain", b"no pane")
+                    else:
+                        self._send(200, "image/png", png)
                 else:
                     self._send(404, "text/plain", b"not found")
 
@@ -230,6 +246,39 @@ class ViewerServer:
             + pts.tobytes()
             + cols[:, :3].tobytes()
         )
+
+    def pane_png(self, name: str):
+        """The reference's four image panes (PangoVis.cpp:45-80): live
+        rgb/depth inputs + shaded model prediction + model depth."""
+        import cv2
+
+        e = self.engine
+        img = None
+        if name == "rgb" and e.last_frame is not None:
+            img = np.asarray(e.last_frame[1])[:, :, ::-1]
+        elif name == "depth" and e.last_frame is not None:
+            d = np.asarray(e.last_frame[0]).astype(np.float32)
+            img = cv2.applyColorMap(
+                np.clip(d / 6000.0 * 255, 0, 255).astype(np.uint8),
+                cv2.COLORMAP_TURBO,
+            )
+        elif name in ("model", "model_depth"):
+            from kintinuous_tpu.ops.image import generate_depth, generate_image
+
+            st = e.tracker.state
+            if st is None:
+                return None
+            vmap = np.asarray(st.pred_vmap)
+            if name == "model":
+                nmap = np.asarray(st.pred_nmap)
+                img = np.asarray(generate_image(vmap, nmap))[:, :, ::-1]
+            else:
+                z = np.nan_to_num(vmap[2])
+                img = np.asarray(generate_depth(z, 6.0))[:, :, ::-1]
+        if img is None:
+            return None
+        ok, buf = cv2.imencode(".png", np.ascontiguousarray(img))
+        return buf.tobytes() if ok else None
 
     # --------------------------------------------------------- control
     def control(self, cmd: str) -> bool:

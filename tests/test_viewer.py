@@ -68,3 +68,20 @@ def test_viewer_endpoints(tmp_path):
         assert not _post(viewer.port, "/control", {"cmd": "bogus"})["ok"]
     finally:
         viewer.close()
+
+
+def test_viewer_panes(tmp_path):
+    cfg = tiny_test_config(save_file=str(tmp_path / "p"))
+    cam = cfg.camera
+    eng = SlamEngine(cfg)
+    viewer = ViewerServer(eng, port=0)
+    try:
+        d, c = render_frame(Scene.default(), cam, orbit_trajectory(1)[0])
+        eng.tracker.process_frame(np.asarray(d), np.asarray(c), 0)
+        eng.tracker.flush()
+        eng.last_frame = (np.asarray(d), np.asarray(c))
+        for name in ("rgb", "depth", "model", "model_depth"):
+            png = _get(viewer.port, f"/pane/{name}.png")
+            assert png[:8] == b"\x89PNG\r\n\x1a\n", name
+    finally:
+        viewer.close()
