@@ -93,6 +93,15 @@ class SlamEngine:
         self.tracker = Tracker(
             cfg, slice_callback=self.slice_q.put, mesh_callback=mesh_cb
         )
+        # stream per-frame poses when not deforming (the deformed
+        # trajectory is only final at exit — KintinuousTracker.cpp:911-914
+        # vs Deformation.cpp:31-56)
+        self._pose_writer = None
+        if not cfg.online_deformation and cfg.save_file:
+            from kintinuous_tpu.io.tum import TrajectoryWriter
+
+            self._pose_writer = TrajectoryWriter(f"{cfg.save_file}.poses")
+            self.tracker.pose_callback = self._pose_writer.write
         self.workers: List[Worker] = []
         self._end_of_log = threading.Event()
         # GUI proxies (reference MainController complete/pause,

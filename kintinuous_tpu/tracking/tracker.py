@@ -680,6 +680,10 @@ class Tracker:
         self.poses: List[np.ndarray] = []  # global poses per frame
         self.stamps_us: List[int] = []
         self.slice_callback = slice_callback
+        # optional streaming pose sink: called (timestamp_us, pose_4x4)
+        # as each frame's global pose materialises (the reference's
+        # per-frame .poses dump, KintinuousTracker.cpp:199-218)
+        self.pose_callback: Optional[Callable] = None
         self.mesh_callback = mesh_callback
         self._frame_idx = 0
         self.stats = {"icp_count": [], "icp_residual": []}
@@ -797,6 +801,8 @@ class Tracker:
         for k, ts in enumerate(ts_list):
             self.poses.append(np.asarray(poses_g[k]))
             self.stamps_us.append(ts)
+            if self.pose_callback:
+                self.pose_callback(ts, self.poses[-1])
             self.stats["icp_count"].append(float(counts[k]))
             self.stats["icp_residual"].append(float(resids[k]))
             self.shift_log.append(np.asarray(shifts[k]))
@@ -850,6 +856,8 @@ class Tracker:
         pose_g = np.asarray(out.pose_global)
         self.poses.append(pose_g)
         self.stamps_us.append(timestamp_us)
+        if self.pose_callback:
+            self.pose_callback(timestamp_us, pose_g)
         self.stats["icp_count"].append(float(out.icp_count))
         self.stats["icp_residual"].append(float(out.icp_residual))
         shift = np.asarray(out.shift)
