@@ -128,6 +128,7 @@ def build_config(argv) -> KintinuousConfig:
         inlier_ratio=a.inlier_ratio,
         isam_thresh=a.isam_thresh,
         flip_colors=a.flip_colors,
+        color_angle_weight=not a.no_color_angle,
         shift_overlap=0 if a.no_overlap else 3,
         save_deoverlap=not a.no_save_overlap,
         frame_rate_limit=30.0 if a.frame_limit else None,

@@ -95,6 +95,9 @@ class KintinuousConfig:
     volume_resolution: int = 512  # voxels per edge (internal.h:243-245)
     trunc_dist: float = 0.03  # metres; clamped up to 2.1*voxel below
     max_weight: int = 128  # fusion weight cap (tsdf_volume.cu:486)
+    # view-angle-weighted colour fusion Wrkc = min(1,|n_z|/0.75)*2
+    # (tsdf_volume.cu:622-625); the reference's -dc switch disables it
+    color_angle_weight: bool = True
 
     # --- fast path (TPU production mode) ---
     # block-classified sparse integration + warm-started half-res raycast
@@ -128,7 +131,7 @@ class KintinuousConfig:
     pyramid_levels: int = 4
     # per-level GN iterations, index 0 = finest (ICPOdometry.cpp:44-55)
     icp_iterations: Tuple[int, ...] = (10, 5, 4, 0)
-    icp_fast_iterations: Tuple[int, ...] = (0, 10, 5, 0)
+    icp_fast_iterations: Tuple[int, ...] = (0, 7, 4, 0)
     icp_dist_thresh: float = 0.10  # metres (reduce.cu:211-254)
     icp_angle_thresh_deg: float = 20.0
     # GN steps per projective association in fast mode (1 = associate

@@ -83,3 +83,31 @@ def resize_nmap(nmap: jnp.ndarray) -> jnp.ndarray:
     n = _avg_pool2(nmap)
     norm = jnp.sqrt(jnp.sum(n * n, axis=0, keepdims=True))
     return jnp.where(norm > 1e-12, n / norm, jnp.nan)
+
+
+def color_fusion_weight(cam, depth_m, disc_mask, angle: bool = True):
+    """Per-pixel colour fusion weight Wrkc (reference tsdf23 colour
+    path, tsdf_volume.cu:622-625): min(1, |n_z|/0.75) * 2 from the
+    CURRENT frame's normal map in camera frame; 0 where the normal is
+    invalid or the pixel sits on a depth discontinuity (the role of
+    scaleDepth's negative no_color flag, :490-538). `angle=False` is
+    the reference's -dc switch (disableColorAngleWeight)."""
+    import jax.numpy as jnp
+
+    vmap = create_vmap(cam, depth_m)
+    nmap = create_nmap(vmap)
+    nz = jnp.abs(nmap[2])
+    valid = jnp.isfinite(nmap).all(axis=0) & (depth_m > 0)
+    if angle:
+        w = jnp.minimum(1.0, nz / 0.75) * 2.0
+    else:
+        w = jnp.full_like(nz, 2.0)
+    return jnp.where(valid & jnp.logical_not(disc_mask), w, 0.0)
+
+
+def quantize_color_w(w):
+    """Colour weight [0,2] -> u8 (shared by every integrate path so
+    the dense/fast/pallas results stay bit-comparable)."""
+    import jax.numpy as jnp
+
+    return jnp.clip(jnp.round(w * 127.5), 0, 255).astype(jnp.uint32)

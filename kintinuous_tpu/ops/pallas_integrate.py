@@ -12,12 +12,13 @@ Per band block (one grid step, dynamic grid = actual band count):
     BlockSpec index maps driven by the scalar-prefetched band ids and
     are written back in place (input_output_aliases) — zero XLA
     gather/scatter of volume rows;
-  - a (5, PH, PW) bf16 patch of [ray_hi | ray_lo | ±(r+1) | g | b] is
-    DMA'd (double-buffered across grid steps) around the block's image
-    footprint: the per-pixel ray length is split into two bf16 limbs
-    (one-hot matmuls reproduce bf16 values exactly, so hi+lo recovers
-    f32 ray to ~6e-5 relative); colour channels are integers <= 256 —
-    bf16-exact — with the discontinuity flag in the sign of (r+1);
+  - a (6, PH, PW) bf16 patch of [ray_hi | ray_lo | r | g | b | q_w]
+    is DMA'd (double-buffered across grid steps) around the block's
+    image footprint: the per-pixel ray length is split into two bf16
+    limbs (one-hot matmuls reproduce bf16 values exactly, so hi+lo
+    recovers f32 ray to ~6e-5 relative); colour channels and the
+    quantized view-angle colour weight q_w are integers <= 255, all
+    bf16-exact and bit-identical to the XLA path's packing;
   - for each of 4 sublane chunks of 128 voxels: a one-hot (PW, 128)
     matmul collapses patch columns on the MXU, a sublane mask collapses
     rows on the VPU — nearest-pixel sampling with zero gathers;
@@ -71,14 +72,14 @@ def _integrate_kernel(
     x0_ref,  # (cap,) i32 patch left col (mult 128)
     params_ref,  # (16,) f32: Rcl rows (9), tcl (3), pad
     # inputs
-    img_ref,  # (5, Hp, Wp) bf16 [ray_hi|ray_lo|±(r+1)|g|b] in HBM
+    img_ref,  # (6, Hp, Wp) bf16 [ray_hi|ray_lo|r|g|b|q_w] in HBM
     t_in,  # (1, 4, 128) f32 tsdf row block
     c_in,  # (1, 4, 128) u32 cw row block
     # outputs (aliased)
     t_out,
     c_out,
     # scratch
-    patch,  # (2, 5, PH, PW) bf16 double-buffered
+    patch,  # (2, 6, PH, PW) bf16 double-buffered
     sem,  # (2,) DMA
     *,
     B: int,
@@ -164,10 +165,10 @@ def _integrate_kernel(
     vox_ray = jnp.sqrt(x * x + y * y + z * z)
 
     wait(i, slot)
-    P = patch[slot].reshape(5 * PH, PW)
+    P = patch[slot].reshape(6 * PH, PW)
 
     # --- sampling: one one-hot MXU collapse + masked reduces per chunk
-    rays, crs, cgs, cbs = [], [], [], []
+    rays, crs, cgs, cbs, cqs = [], [], [], [], []
     for s in range(4):
         Wc = jnp.where(iota_pw == pu[s : s + 1], 1.0, 0.0).astype(
             jnp.bfloat16
@@ -175,7 +176,7 @@ def _integrate_kernel(
         D = jax.lax.dot_general(
             P, Wc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (5PH, 128)
+        )  # (6PH, 128)
         # one shared (PH,128) row mask; the ray limbs share pv, so the
         # hi+lo sum falls out of a single masked reduction of D0+D1
         M = jnp.where(iota_ph == pv[s : s + 1], 1.0, 0.0)
@@ -185,14 +186,13 @@ def _integrate_kernel(
         crs.append(jnp.sum(D[2 * PH : 3 * PH] * M, 0, keepdims=True))
         cgs.append(jnp.sum(D[3 * PH : 4 * PH] * M, 0, keepdims=True))
         cbs.append(jnp.sum(D[4 * PH : 5 * PH] * M, 0, keepdims=True))
+        cqs.append(jnp.sum(D[5 * PH : 6 * PH] * M, 0, keepdims=True))
     samp_ray = jnp.concatenate(rays, 0)  # (4,128)
-    cr = jnp.concatenate(crs, 0)
-    cg = jnp.concatenate(cgs, 0)
-    cb = jnp.concatenate(cbs, 0)
-    samp_disc = cr < 0.0
-    r_new = jnp.abs(cr) - 1.0
-    g_new = cg
-    b_new = cb
+    r_new = jnp.concatenate(crs, 0)
+    g_new = jnp.concatenate(cgs, 0)
+    b_new = jnp.concatenate(cbs, 0)
+    samp_q = jnp.concatenate(cqs, 0)
+    w_c = samp_q / 127.5
 
     # --- fusion update (dense-path formulas), full (4,128) shapes ----
     sdf = samp_ray - vox_ray
@@ -211,11 +211,12 @@ def _integrate_kernel(
         (t_row * w_old + tsdf_new) / jnp.maximum(w_old + 1.0, 1.0),
         t_row,
     )
-    cfuse = fuse & (jnp.abs(sdf) < trunc_dist) & jnp.logical_not(samp_disc)
-    inv_w = 1.0 / jnp.maximum(w_old + 1.0, 1.0)
+    black = (r_old + g_old + b_old) == 0
+    cfuse = fuse & ((samp_q > 0) | black)
+    inv_w = 1.0 / jnp.maximum(w_old + w_c, 1e-6)
 
     def mix(old, new):
-        return jnp.where(cfuse, (old * w_old + new) * inv_w, old)
+        return jnp.where(cfuse, (old * w_old + w_c * new) * inv_w, old)
 
     c_upd = (
         (jnp.clip(w_upd, 0, 255).astype(jnp.int32).astype(jnp.uint32) << 24)
@@ -448,8 +449,12 @@ def _plan_blocks(
     )
 
 
-def _build_images(cam, depth_m, rgb, disc_mask, Hp, Wp):
-    """-> (5,Hp,Wp) bf16 [ray_hi | ray_lo | ±(r+1) | g | b]."""
+def _build_images(cam, depth_m, rgb, color_w, Hp, Wp):
+    """-> (6,Hp,Wp) bf16 [ray_hi | ray_lo | r | g | b | q_w] where q_w
+    is the quantized colour fusion weight (integers <= 255, bf16-exact
+    and bit-identical to the XLA path's aux byte)."""
+    from kintinuous_tpu.ops.maps import quantize_color_w
+
     H, W = depth_m.shape
     ray = scale_depth(cam, depth_m)  # (H,W) f32, 0 = invalid
     hi = ray.astype(jnp.bfloat16).astype(jnp.float32)
@@ -457,8 +462,10 @@ def _build_images(cam, depth_m, rgb, disc_mask, Hp, Wp):
     r = jnp.clip(rgb[..., 0].astype(jnp.float32), 0, 255)
     g = jnp.clip(rgb[..., 1].astype(jnp.float32), 0, 255)
     b = jnp.clip(rgb[..., 2].astype(jnp.float32), 0, 255)
-    c0 = jnp.where(disc_mask, -(r + 1.0), r + 1.0)
-    img = jnp.stack([hi, lo, c0, g, b], axis=0)
+    if color_w.dtype == jnp.bool_:
+        color_w = jnp.where(color_w, 0.0, 2.0)
+    q = quantize_color_w(color_w).astype(jnp.float32)
+    img = jnp.stack([hi, lo, r, g, b, q], axis=0)
     img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W)))
     img = img.astype(jnp.bfloat16)
     (img,) = jax.lax.optimization_barrier((img,))
@@ -505,7 +512,8 @@ def _xla_band_update(
     irow = tables.img_rows[pidx.reshape(-1)].reshape(*pidx.shape, 2)
     samp_ray = irow[..., 0]
     samp_aux = jax.lax.bitcast_convert_type(irow[..., 1], jnp.uint32)
-    samp_disc = (samp_aux >> 24) > 0
+    samp_q = (samp_aux >> 24).astype(jnp.float32)
+    w_c = samp_q / 127.5
     r_new = ((samp_aux >> 16) & 0xFF).astype(jnp.float32)
     g_new = ((samp_aux >> 8) & 0xFF).astype(jnp.float32)
     b_new = (samp_aux & 0xFF).astype(jnp.float32)
@@ -524,11 +532,12 @@ def _xla_band_update(
     t_upd = jnp.where(
         fuse, (t8 * w_old + tsdf_new) / jnp.maximum(w_old + 1.0, 1.0), t8
     )
-    cfuse = fuse & (jnp.abs(sdf) < trunc_dist) & jnp.logical_not(samp_disc)
-    inv_w = 1.0 / jnp.maximum(w_old + 1.0, 1.0)
+    black = (r_old + g_old + b_old) == 0
+    cfuse = fuse & ((samp_q > 0) | black)
+    inv_w = 1.0 / jnp.maximum(w_old + w_c, 1e-6)
 
     def mix(old, new):
-        return jnp.where(cfuse, (old * w_old + new) * inv_w, old)
+        return jnp.where(cfuse, (old * w_old + w_c * new) * inv_w, old)
 
     c_upd = (
         (jnp.clip(w_upd, 0, 255).astype(jnp.uint32) << 24)
@@ -547,7 +556,7 @@ def integrate_pallas(
     cam: CameraIntrinsics,
     depth_m: jnp.ndarray,
     rgb: jnp.ndarray,
-    disc_mask: jnp.ndarray,
+    color_w: jnp.ndarray,  # (H,W) colour weight [0,2] or legacy bool mask
     T_cam_to_local: jnp.ndarray,
     voxel_size: float,
     trunc_dist: float,
@@ -566,13 +575,13 @@ def integrate_pallas(
     PH0 = min(48, Hp)
     PH2 = min(224, Hp)
     PW2 = min(512, Wp)
-    tables = build_depth_tables(cam, depth_m, rgb, disc_mask)
+    tables = build_depth_tables(cam, depth_m, rgb, color_w)
     plan = _plan_blocks(
         vol, cam, tables, T_cam_to_local, voxel_size, trunc_dist, R,
         band_cap, t1_cap, t2_cap, fb_cap, free_cap,
         Hp, PH0, PH, PW, PH2, PW2,
     )
-    img = _build_images(cam, depth_m, rgb, disc_mask, Hp, Wp)
+    img = _build_images(cam, depth_m, rgb, color_w, Hp, Wp)
 
     Tinv = jnp.linalg.inv(T_cam_to_local)
     params = jnp.concatenate(
@@ -607,7 +616,7 @@ def integrate_pallas(
             ],
             out_specs=[row_spec, row_spec],
             scratch_shapes=[
-                pltpu.VMEM((2, 5, ph, pw), jnp.bfloat16),
+                pltpu.VMEM((2, 6, ph, pw), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )

@@ -94,7 +94,9 @@ def integrate(
     cam: CameraIntrinsics,
     depth_m: jnp.ndarray,  # (H,W) metres, 0 invalid (bilateral-filtered)
     rgb: jnp.ndarray,  # (H,W,3) f32 0..255
-    disc_mask: jnp.ndarray,  # (H,W) bool depth-discontinuity flags
+    color_w: jnp.ndarray,  # (H,W) colour fusion weight [0,2] (0 = no
+    # colour: invalid normal / depth discontinuity); a bool mask is
+    # accepted as legacy shorthand for where(mask, 0, 2)
     T_cam_to_local: jnp.ndarray,  # (4,4) camera->local-volume metres
     voxel_size: float,
     trunc_dist: float,
@@ -116,9 +118,14 @@ def integrate(
     assert Rz % z_chunk == 0
     H, W = depth_m.shape
 
+    from kintinuous_tpu.ops.maps import quantize_color_w
+
+    if color_w.dtype == jnp.bool_:
+        color_w = jnp.where(color_w, 0.0, 2.0)
+    q_w = quantize_color_w(color_w)  # u32 0..255
     ray_len = scale_depth(cam, depth_m)  # (H,W)
     flat_ray = ray_len.reshape(-1)
-    flat_disc = disc_mask.reshape(-1)
+    flat_q = q_w.reshape(-1)
     # pack the rgb frame once; single u32 gather in the sweep
     rgb_u32 = pack_cw(
         jnp.zeros(rgb.shape[:2]), rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -183,16 +190,19 @@ def integrate(
             (t_old * w_old + tsdf_new) / jnp.maximum(w_old + 1.0, 1.0),
             t_old,
         )
-        # colour: only near the surface and not across a depth silhouette
-        # (reference tsdf23 colour path, tsdf_volume.cu:616-636)
-        samp_disc = flat_disc[idx]
-        cfuse = fuse & (jnp.abs(sdf) < trunc_dist) & jnp.logical_not(samp_disc)
+        # colour: view-angle-weighted running average, fused when the
+        # pixel has a usable normal (w_c > 0) or the voxel is still
+        # black (bootstrap) — tsdf_volume.cu:622-636
+        samp_q = flat_q[idx].astype(jnp.float32)
+        w_c = samp_q / 127.5
         samp_rgb = rgb_u32[idx]
         _, r_new, g_new, b_new = unpack_cw(samp_rgb)
-        inv_w = 1.0 / jnp.maximum(w_old + 1.0, 1.0)
+        black = (r_old + g_old + b_old) == 0
+        cfuse = fuse & ((samp_q > 0) | black)
+        inv_w = 1.0 / jnp.maximum(w_old + w_c, 1e-6)
 
         def mix(old, new):
-            return jnp.where(cfuse, (old * w_old + new) * inv_w, old)
+            return jnp.where(cfuse, (old * w_old + w_c * new) * inv_w, old)
 
         cw_upd = pack_cw(w_upd, mix(r_old, r_new), mix(g_old, g_new), mix(b_old, b_new))
 

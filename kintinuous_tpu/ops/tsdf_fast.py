@@ -54,17 +54,22 @@ def build_depth_tables(
     cam: CameraIntrinsics,
     depth_m: jnp.ndarray,
     rgb: jnp.ndarray,
-    disc_mask: jnp.ndarray,
+    color_w: jnp.ndarray,  # (H,W) colour weight [0,2] or legacy bool mask
     dilate: int = 2,
     cell: int = DEFAULT_CELL,
 ) -> DepthTables:
+    from kintinuous_tpu.ops.maps import quantize_color_w
+
     H, W = depth_m.shape
     CELL = cell
     ray = scale_depth(cam, depth_m)  # (H,W), 0 invalid
+    if color_w.dtype == jnp.bool_:
+        color_w = jnp.where(color_w, 0.0, 2.0)
 
-    # per-pixel packed aux: u32 (disc<<24 | r<<16 | g<<8 | b) bitcast f32
+    # per-pixel packed aux: u32 (q_w<<24 | r<<16 | g<<8 | b) bitcast f32
+    # where q_w is the quantized colour fusion weight
     aux_u32 = (
-        (disc_mask.astype(jnp.uint32) << 24)
+        (quantize_color_w(color_w) << 24)
         | (jnp.clip(rgb[..., 0], 0, 255).astype(jnp.uint32) << 16)
         | (jnp.clip(rgb[..., 1], 0, 255).astype(jnp.uint32) << 8)
         | jnp.clip(rgb[..., 2], 0, 255).astype(jnp.uint32)
@@ -335,7 +340,8 @@ def integrate_fast(
     irow = tables.img_rows[pidx.reshape(-1)].reshape(*pidx.shape, 2)
     samp_ray = irow[..., 0]
     samp_aux = jax.lax.bitcast_convert_type(irow[..., 1], jnp.uint32)
-    samp_disc = (samp_aux >> 24) > 0
+    samp_q = (samp_aux >> 24).astype(jnp.float32)
+    w_c = samp_q / 127.5
     r_new = ((samp_aux >> 16) & 0xFF).astype(jnp.float32)
     g_new = ((samp_aux >> 8) & 0xFF).astype(jnp.float32)
     b_new = (samp_aux & 0xFF).astype(jnp.float32)
@@ -355,11 +361,12 @@ def integrate_fast(
     t_upd = jnp.where(
         fuse, (t8 * w_old + tsdf_new) / jnp.maximum(w_old + 1.0, 1.0), t8
     )
-    cfuse = fuse & (jnp.abs(sdf) < trunc_dist) & jnp.logical_not(samp_disc)
-    inv_w = 1.0 / jnp.maximum(w_old + 1.0, 1.0)
+    black = (r_old + g_old + b_old) == 0
+    cfuse = fuse & ((samp_q > 0) | black)
+    inv_w = 1.0 / jnp.maximum(w_old + w_c, 1e-6)
 
     def mix(old, new):
-        return jnp.where(cfuse, (old * w_old + new) * inv_w, old)
+        return jnp.where(cfuse, (old * w_old + w_c * new) * inv_w, old)
 
     c_upd = (
         (jnp.clip(w_upd, 0, 255).astype(jnp.uint32) << 24)

@@ -373,8 +373,13 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
         disc = pp.depth_discontinuity_mask(
             depth_m, radius=3, jump_m=cfg.depth_discontinuity_mm * 1e-3
         )
+        from kintinuous_tpu.ops.maps import color_fusion_weight
+
+        color_w = color_fusion_weight(
+            cam, depth_m, disc, angle=cfg.color_angle_weight
+        )
         vol = integrate(
-            vol, cam, depth_m, rgb, disc, pose, vsz, cfg.trunc_dist,
+            vol, cam, depth_m, rgb, color_w, pose, vsz, cfg.trunc_dist,
             float(cfg.max_weight), z_chunk=min(slab, 64),
             z_phys_offset=idx * slab,
         )

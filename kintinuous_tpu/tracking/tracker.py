@@ -36,6 +36,7 @@ import numpy as np
 
 from kintinuous_tpu.config import KintinuousConfig
 from kintinuous_tpu.geometry import se3
+from kintinuous_tpu.ops import maps as map_ops
 from kintinuous_tpu.ops import preprocess as pp
 from kintinuous_tpu.ops.extract import ExtractResult, extract_points
 from kintinuous_tpu.ops.raycast import raycast
@@ -270,8 +271,11 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
         disc = pp.depth_discontinuity_mask(
             depth_m, radius=3, jump_m=cfg.depth_discontinuity_mm * 1e-3
         )
+        color_w = map_ops.color_fusion_weight(
+            cam, depth_m, disc, angle=cfg.color_angle_weight
+        )
         vol = integrate(
-            vol, cam, depth_m, rgb, disc, pose, vsz, cfg.trunc_dist,
+            vol, cam, depth_m, rgb, color_w, pose, vsz, cfg.trunc_dist,
             float(cfg.max_weight),
         )
 
@@ -504,15 +508,18 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
         disc = pp.depth_discontinuity_mask(
             depth_m, radius=3, jump_m=cfg.depth_discontinuity_mm * 1e-3
         )
+        color_w = map_ops.color_fusion_weight(
+            cam, depth_m, disc, angle=cfg.color_angle_weight
+        )
         if use_pallas:
             vol = integrate_pallas(
-                vol, cam, depth_m, rgb, disc, pose, vsz, cfg.trunc_dist,
+                vol, cam, depth_m, rgb, color_w, pose, vsz, cfg.trunc_dist,
                 float(cfg.max_weight), band_cap=cfg.band_cap,
                 fb_cap=cfg.fallback_band_cap,
             )
         else:
             vol = integrate_fast(
-                vol, cam, depth_m, rgb, disc, pose, vsz, cfg.trunc_dist,
+                vol, cam, depth_m, rgb, color_w, pose, vsz, cfg.trunc_dist,
                 float(cfg.max_weight), band_cap=cfg.band_cap,
             )
 

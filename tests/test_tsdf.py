@@ -196,3 +196,35 @@ def test_extract_band_subset():
     n_full, n_lo, n_up = int(full.count), int(lowr.count), int(uppr.count)
     # band split loses only the crossings straddling the cut plane
     assert abs(n_full - (n_lo + n_up)) < 0.02 * n_full + 50
+
+
+def test_color_fusion_weight_angle():
+    """Wrkc = min(1, |n_z|/0.75)*2 (tsdf_volume.cu:622-625): full weight
+    fronto-parallel, reduced at grazing incidence, 0 at discontinuities;
+    -dc (angle=False) gives 2 everywhere valid."""
+    from kintinuous_tpu.ops.maps import color_fusion_weight
+
+    H, W = CAM.height, CAM.width
+    u = np.arange(W, dtype=np.float32)[None, :].repeat(H, 0)
+    # plane tilted hard around the y axis: depth ramps with u
+    x_over_z = (u - CAM.cx) / CAM.fx
+    flat = np.full((H, W), 1.5, np.float32)
+    tilted = 1.0 / np.maximum(1.0 - 1.6 * x_over_z, 0.2)  # strong slant
+    disc = np.zeros((H, W), bool)
+    disc[10, 10] = True
+
+    w_flat = np.asarray(color_fusion_weight(CAM, jnp.array(flat), jnp.array(disc)))
+    w_tilt = np.asarray(color_fusion_weight(CAM, jnp.array(tilted), jnp.array(disc)))
+    interior = np.zeros((H, W), bool)
+    interior[2:-2, 2:-2] = True
+    interior[10, 10] = False
+    assert w_flat[interior].min() > 1.9  # fronto-parallel: ~2
+    assert w_flat[10, 10] == 0.0  # discontinuity suppressed
+    # grazing region of the tilted plane fuses with clearly less weight
+    assert np.median(w_tilt[interior]) < 1.6
+    assert np.median(w_tilt[interior]) > 0.3
+
+    w_off = np.asarray(color_fusion_weight(
+        CAM, jnp.array(tilted), jnp.array(disc), angle=False))
+    valid = interior & (w_off > 0)
+    assert (w_off[valid] == 2.0).all()

@@ -48,12 +48,13 @@ def main():
     R = cfg.volume_resolution
     Hp, Wp, PH, PW = _patch_dims(cam.height, cam.width)
     tables = build_depth_tables(cam, depth_m, rgb, disc)
+    PH0 = min(48, Hp)
     PH2, PW2 = min(224, Hp), min(512, Wp)
     plan = jax.jit(lambda v: _plan_blocks(
         v, cam, tables, pose, vsz, cfg.trunc_dist, R,
-        cfg.band_cap, 1024, cfg.fallback_band_cap, 12288,
-        Hp, PH, PW, PH2, PW2))(vol)
-    print(f"n_pallas={int(plan.n_pallas)} n_t2={int(plan.n_t2)} n_fb={int(plan.n_fb)} "
+        cfg.band_cap, 4096, 1024, cfg.fallback_band_cap, 12288,
+        Hp, PH0, PH, PW, PH2, PW2))(vol)
+    print(f"n_t0={int(plan.n_t0)} n_pallas={int(plan.n_pallas)} n_t2={int(plan.n_t2)} n_fb={int(plan.n_fb)} "
           f"n_free={int(plan.n_free)}")
 
     f_fast = jax.jit(lambda v: integrate_fast(
