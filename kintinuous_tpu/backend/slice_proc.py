@@ -87,8 +87,22 @@ class SliceProcessor:
         cfg = self.cfg
         keep = sl.weights >= cfg.weight_cull
         pts, cols, wgts = sl.points[keep], sl.colors[keep], sl.weights[keep]
-        pts, cols, wgts = voxel_downsample(pts, cols, wgts, cfg.voxel_size)
-        normals = estimate_normals(pts, k=20, viewpoint=sl.pose[:3, 3])
+        # native C++ path (the PCL role); numpy/scipy fallback below
+        from kintinuous_tpu.backend import native_ops
+
+        done = False
+        if native_ops.available() and len(pts):
+            out = native_ops.voxel_downsample(pts, cols, wgts, cfg.voxel_size)
+            if out is not None:
+                pts, cols, wgts = out
+                normals = native_ops.estimate_normals(
+                    pts, k=20, cell=2.0 * cfg.voxel_size,
+                    viewpoint=sl.pose[:3, 3],
+                )
+                done = normals is not None
+        if not done:
+            pts, cols, wgts = voxel_downsample(pts, cols, wgts, cfg.voxel_size)
+            normals = estimate_normals(pts, k=20, viewpoint=sl.pose[:3, 3])
         sl.processed = {
             "points": pts.astype(np.float32),
             "colors": cols if cols is not None else np.zeros((len(pts), 3), np.uint8),
