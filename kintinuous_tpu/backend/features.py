@@ -106,13 +106,6 @@ class Vocabulary:
             return np.zeros(0, np.int32)
         return hamming_dist(descriptors, self.centroids).argmin(axis=1).astype(np.int32)
 
-    def save(self, path: str):
-        np.save(path, self.centroids)
-
-    @staticmethod
-    def load(path: str) -> "Vocabulary":
-        return Vocabulary(np.load(path))
-
 
 class BowDatabase:
     """tf-idf BoW scoring with an inverted index (DBoW2-style)."""
