@@ -71,6 +71,16 @@ def mesh_current_volume(tracker, cfg: KintinuousConfig,
     """Surface-nets mesh of the live volume (global coords)."""
     R = cfg.volume_resolution
     vol = tracker.state.vol
+    if cfg.devices > 1:
+        # gather the z-slab-sharded volume to one addressable array
+        from kintinuous_tpu.ops.tsdf import VolumeState as _VS
+
+        vol = _VS(
+            tsdf=jnp.asarray(np.asarray(vol.tsdf)),
+            cw=jnp.asarray(np.asarray(vol.cw)),
+            wrap=jnp.asarray(np.asarray(vol.wrap)),
+            origin=jnp.asarray(np.asarray(vol.origin)),
+        )
     if cfg.fast_mode:
         from kintinuous_tpu.ops.blocked import blocked_to_dense
         from kintinuous_tpu.ops.tsdf import VolumeState as _VS

@@ -106,6 +106,10 @@ def build_config(argv) -> KintinuousConfig:
         "--fast", dest="fast_mode", action="store_true",
         help="blocked fast path: sparse TSDF updates + warm raycast + batched dispatch",
     )
+    p.add_argument(
+        "--devices", dest="devices", type=int, default=1,
+        help="shard the volume into z-slabs over N chips (ICI mesh)",
+    )
     a = p.parse_args(argv)
     if not a.log_file and not a.live_source:
         p.error("one of -l <log.klg> or -live <address> is required")
@@ -143,6 +147,7 @@ def build_config(argv) -> KintinuousConfig:
         dynamic_cube=a.dynamic_cube,
         save_file=a.save_file,
         fast_mode=a.fast_mode,
+        devices=a.devices,
     )
 
 

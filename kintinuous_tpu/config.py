@@ -176,6 +176,10 @@ class KintinuousConfig:
     # --- runtime ---
     frame_rate_limit: Optional[float] = None  # Hz throttle (TrackerInterface.cpp:108-112)
     telemetry_port: int = 45454  # Stopwatch UDP sink (Stopwatch.h:97-110)
+    # multi-chip: shard the volume into z-slabs over this many devices
+    # (1 = single chip; the reference is strictly single-GPU, this is
+    # the new ICI scaling layer — SURVEY.md §2.7)
+    devices: int = 1
 
     def __post_init__(self):
         # reference clamps voxelShift to [1,16] (ConfigArgs.h:162-169)

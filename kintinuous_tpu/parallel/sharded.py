@@ -23,9 +23,14 @@ anywhere); this module is the new ICI scaling layer the TPU build adds:
   `make_sharded_step(..., slab_raycast=False)` keeps that baseline for
   A/B testing.
 
-Volume shifting/extraction in multi-chip runs is host-triggered on the
-gathered volume (shift events are rare — every voxel_shift*voxel_size
-metres of travel).
+- volume shifts extract the departing band SLAB-LOCALLY before the
+  clear: each chip emits the zero-crossings whose base voxel's physical
+  z-plane lies in its slab (one ppermute'd +z halo plane covers
+  cross-slab z-crossings, the ring wrap matching the volume's mod-R
+  addressing), compacted into per-chip fixed-capacity buffers that the
+  host concatenates — so the multi-chip map is lossless, matching the
+  single-chip extraction content (KintinuousTracker.cpp:675-831,
+  extract.cu:325-419).
 """
 
 from __future__ import annotations
@@ -45,6 +50,7 @@ except ImportError:  # pragma: no cover
 from kintinuous_tpu.config import KintinuousConfig
 from kintinuous_tpu.geometry import se3
 from kintinuous_tpu.ops import preprocess as pp
+from kintinuous_tpu.ops.extract import ExtractResult
 from kintinuous_tpu.ops.raycast import raycast
 from kintinuous_tpu.ops.reduce import icp_solve_level
 from kintinuous_tpu.ops.tsdf import VolumeState, integrate, make_volume
@@ -58,6 +64,18 @@ class ShardedTrackerState(NamedTuple):
     pred_nmap: jnp.ndarray
     pred_pose: jnp.ndarray
     frame: jnp.ndarray
+
+
+class ShardedStepOutputs(NamedTuple):
+    """Per-frame outputs of the sharded step. `slices` hold per-chip
+    fixed-capacity buffers stacked on the leading (device) axis; counts
+    are (n_devices,) so the host concatenates the valid prefixes."""
+
+    pose_global: jnp.ndarray  # (4,4) replicated
+    shift: jnp.ndarray  # (3,) i32 voxels shifted this frame
+    slices: Tuple[ExtractResult, ExtractResult, ExtractResult]
+    icp_count: jnp.ndarray  # () f32
+    icp_residual: jnp.ndarray  # () f32
 
 
 def state_shardings(mesh: Mesh):
@@ -133,6 +151,133 @@ def _halo_extend(slab_arr, halo, axis_name="z"):
     hi = jax.lax.ppermute(slab_arr[:halo], axis_name, perm=fwd)
     lo = jax.lax.ppermute(slab_arr[-halo:], axis_name, perm=bwd)
     return jnp.concatenate([lo, slab_arr, hi], axis=0)
+
+
+def _empty_extract(capacity: int) -> ExtractResult:
+    return ExtractResult(
+        points=jnp.zeros((capacity, 3), jnp.float32),
+        colors=jnp.zeros((capacity, 3), jnp.float32),
+        weights=jnp.zeros((capacity,), jnp.float32),
+        count=jnp.zeros((1,), jnp.int32),
+    )
+
+
+def extract_slab(
+    vol: VolumeState,
+    lo: jnp.ndarray,  # (3,) i32 logical sub-box lower corner [x,y,z]
+    size: Tuple[int, int, int],  # STATIC [x,y,z] extent in voxels
+    voxel_size: float,
+    capacity: int,  # per-chip buffer capacity
+    idx,  # this chip's slab index (lax.axis_index)
+    slab: int,  # z-planes per slab
+    min_weight: float = 1.0,
+    axis_name: str = "z",
+) -> ExtractResult:
+    """Slab-local band extraction inside shard_map — the multi-chip
+    equivalent of ops/extract.extract_points (extract.cu:325-419 role).
+
+    Each chip emits exactly the crossings whose BASE voxel's physical
+    z-plane lies in its slab, so the union over chips equals the
+    single-chip extraction content with no duplicates. The only
+    communication is one +z halo plane per array via ppermute (the ring
+    wrap matches the volume's mod-R addressing, so logical boxes that
+    span the physical wrap boundary need no special casing). Counts are
+    returned shaped (1,) so a P('z') out-spec stacks them per chip.
+    """
+    from kintinuous_tpu.ops.tsdf import unpack_cw
+
+    n = jax.lax.axis_size(axis_name)
+    R = slab * n
+    sx, sy, sz = int(size[0]), int(size[1]), int(size[2])
+
+    # one +z halo plane: chip i receives chip (i+1)%n's first plane
+    fwd = [(i, (i - 1) % n) for i in range(n)]
+    tsdf_h = jnp.concatenate(
+        [vol.tsdf, jax.lax.ppermute(vol.tsdf[:1], axis_name, perm=fwd)], axis=0
+    )
+    cw_h = jnp.concatenate(
+        [vol.cw, jax.lax.ppermute(vol.cw[:1], axis_name, perm=fwd)], axis=0
+    )
+
+    def phys_idx(axis, m):
+        logical = jnp.mod(lo[axis] + jnp.arange(m, dtype=jnp.int32), R)
+        return jnp.mod(logical + vol.wrap[axis], R), logical
+
+    px, gx = phys_idx(0, sx + 1)
+    py, gy = phys_idx(1, sy + 1)
+    pz, gz = phys_idx(2, sz + 1)
+    lz = jnp.mod(pz - idx * slab, R)  # local plane index; slab == halo
+    avail = lz <= slab
+    own = lz < slab
+    lzc = jnp.clip(lz, 0, slab)
+
+    t = tsdf_h[lzc[:, None, None], py[None, :, None], px[None, None, :]]
+    w, cr, cg, cb = unpack_cw(
+        cw_h[lzc[:, None, None], py[None, :, None], px[None, None, :]]
+    )
+    w = jnp.where(avail[:, None, None], w, 0.0)  # mask unavailable planes
+
+    t0 = t[:sz, :sy, :sx]
+    w0 = w[:sz, :sy, :sx]
+    c0 = jnp.stack(
+        [cr[:sz, :sy, :sx], cg[:sz, :sy, :sx], cb[:sz, :sy, :sx]], axis=-1
+    )
+
+    def crossing(t1, w1):
+        cross = (w0 >= min_weight) & (w1 >= min_weight) & (
+            ((t0 > 0) & (t1 < 0)) | ((t0 < 0) & (t1 > 0))
+        )
+        denom = t0 - t1
+        dt = jnp.where(jnp.abs(denom) > 1e-12, t0 / denom, 0.5)
+        return cross, jnp.clip(dt, 0.0, 1.0)
+
+    cx_mask, cx_dt = crossing(t[:sz, :sy, 1:], w[:sz, :sy, 1:])
+    cy_mask, cy_dt = crossing(t[:sz, 1:, :sx], w[:sz, 1:, :sx])
+    cz_mask, cz_dt = crossing(t[1:, :sy, :sx], w[1:, :sy, :sx])
+    if sx == R:  # +x neighbour of the last column wraps around
+        cx_mask = cx_mask & (jnp.arange(sx)[None, None, :] < sx - 1)
+    if sy == R:
+        cy_mask = cy_mask & (jnp.arange(sy)[None, :, None] < sy - 1)
+    if sz == R:
+        cz_mask = cz_mask & (jnp.arange(sz)[:, None, None] < sz - 1)
+
+    any_cross = (cx_mask | cy_mask | cz_mask) & own[:sz, None, None]
+    n_cross = (
+        cx_mask.astype(jnp.float32)
+        + cy_mask.astype(jnp.float32)
+        + cz_mask.astype(jnp.float32)
+    )
+
+    base_x = gx[:sx].astype(jnp.float32)[None, None, :] + 0.5
+    base_y = gy[:sy].astype(jnp.float32)[None, :, None] + 0.5
+    base_z = gz[:sz].astype(jnp.float32)[:, None, None] + 0.5
+    off_x = jnp.where(cx_mask, cx_dt, 0.0)
+    off_y = jnp.where(cy_mask, cy_dt, 0.0)
+    off_z = jnp.where(cz_mask, cz_dt, 0.0)
+    denom = jnp.maximum(n_cross, 1.0)
+    pos = jnp.stack(
+        [
+            jnp.broadcast_to(base_x, off_x.shape) + off_x / denom,
+            jnp.broadcast_to(base_y, off_y.shape) + off_y / denom,
+            jnp.broadcast_to(base_z, off_z.shape) + off_z / denom,
+        ],
+        axis=-1,
+    )
+    pts_global = pos * voxel_size + vol.origin[None, None, None, :]
+
+    mask = any_cross.reshape(-1)
+    m = mask.shape[0]
+    didx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (didx < capacity), didx, capacity)
+
+    flat_pts = pts_global.reshape(m, 3)
+    flat_col = c0.reshape(m, 3)
+    flat_wgt = w0.reshape(m)
+    points = jnp.zeros((capacity, 3), jnp.float32).at[dest].set(flat_pts, mode="drop")
+    colors = jnp.zeros((capacity, 3), jnp.float32).at[dest].set(flat_col, mode="drop")
+    weights = jnp.zeros((capacity,), jnp.float32).at[dest].set(flat_wgt, mode="drop")
+    count = jnp.minimum(mask.sum(), capacity).astype(jnp.int32).reshape(1)
+    return ExtractResult(points=points, colors=colors, weights=weights, count=count)
 
 
 def _raycast_slab(
@@ -283,6 +428,8 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
     iters = cfg.icp_fast_iterations if cfg.fast_odometry else cfg.icp_iterations
     vsz = cfg.voxel_size
     S = cfg.voxel_shift
+    OV = cfg.shift_overlap
+    cap = cfg.extraction_capacity
     center = cfg.volume_size / 2.0
     shift_thresh = S * vsz
     import math
@@ -292,12 +439,20 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
     state_spec = ShardedTrackerState(
         vol=vol_spec, pose=P(), pred_vmap=P(), pred_nmap=P(), pred_pose=P(), frame=P()
     )
+    slice_spec = ExtractResult(
+        points=P("z"), colors=P("z"), weights=P("z"), count=P("z")
+    )
+    out_spec = ShardedStepOutputs(
+        pose_global=P(), shift=P(),
+        slices=(slice_spec, slice_spec, slice_spec),
+        icp_count=P(), icp_residual=P(),
+    )
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(state_spec, P(), P(), P()),
-        out_specs=(state_spec, P()),
+        out_specs=(state_spec, out_spec),
         check_vma=False,
     )
     def step(state: ShardedTrackerState, depth_mm, rgb, ext_delta):
@@ -328,23 +483,55 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
                 vc_blk = jax.lax.dynamic_slice_in_dim(vc, r0, rows_l, 1)
                 nc_blk = jax.lax.dynamic_slice_in_dim(nc, r0, rows_l, 1)
                 vp, np_ = pred_pyr[l]
-                T, _, _ = icp_solve_level(
+                T, icp_count, icp_res = icp_solve_level(
                     cam.at_level(l), T, vc_blk, nc_blk, vp, np_, it,
                     cfg.icp_dist_thresh, sin_t, axis_name="z",
                 )
             delta = T
         else:
             delta = ext_delta
+            icp_count = jnp.float32(0.0)
+            icp_res = jnp.float32(0.0)
         pose = state.pose @ delta
 
-        # --- shift bookkeeping (no in-step extraction in sharded mode) ---
+        # --- shift: slab-local band extraction, then clears ---
         vol = state.vol
-        if not cfg.static_mode:
-            cam_off = pose[:3, 3] - center
+        empty3 = (_empty_extract(cap), _empty_extract(cap), _empty_extract(cap))
+        if cfg.static_mode:
+            shift = jnp.zeros(3, jnp.int32)
+            slices = empty3
+        else:
+            # dynamic cube (-dc): anchor the shift on where the camera
+            # LOOKS (KintinuousTracker.cpp:384-442)
+            anchor = pose[:3, 3]
+            if cfg.dynamic_cube:
+                anchor = anchor + pose[:3, 2] * (0.35 * cfg.volume_size)
+            cam_off = anchor - center
             shift = jnp.where(
                 cam_off >= shift_thresh, S,
                 jnp.where(cam_off <= -shift_thresh, -S, 0),
             ).astype(jnp.int32)
+
+            # extract the departing band (+overlap) BEFORE the clear so
+            # shifted-out geometry becomes the persistent map
+            # (KintinuousTracker.cpp:675-831)
+            def axis_slice(axis, size_xyz):
+                s = shift[axis]
+
+                def ex(v):
+                    lo = jnp.zeros(3, jnp.int32)
+                    lo = lo.at[axis].set(jnp.where(s > 0, 0, R - S - OV))
+                    return extract_slab(v, lo, size_xyz, vsz, cap, idx, slab)
+
+                return jax.lax.cond(
+                    s != 0, ex, lambda v: _empty_extract(cap), vol
+                )
+
+            slices = (
+                axis_slice(0, (S + OV, R, R)),
+                axis_slice(1, (R, S + OV, R)),
+                axis_slice(2, (R, R, S + OV)),
+            )
 
             def band_mask(axis, phys):
                 s = shift[axis]
@@ -409,6 +596,40 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
             vol=vol, pose=pose, pred_vmap=rc.vmap, pred_nmap=rc.nmap,
             pred_pose=pose, frame=state.frame + 1,
         )
-        return new_state, pose.at[:3, 3].add(vol.origin)
+        out = ShardedStepOutputs(
+            pose_global=pose.at[:3, 3].add(vol.origin),
+            shift=shift,
+            slices=slices,
+            icp_count=icp_count,
+            icp_residual=icp_res,
+        )
+        return new_state, out
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sharded_extract(cfg: KintinuousConfig, mesh: Mesh):
+    """Jitted whole-volume extraction under sharding — the FINAL-slice
+    fetch of finalise (KintinuousTracker.cpp:1003-1048) without
+    gathering the volume to one chip."""
+    R = cfg.volume_resolution
+    n = mesh.shape["z"]
+    slab = R // n
+    cap = cfg.extraction_capacity
+    vsz = cfg.voxel_size
+    vol_spec = VolumeState(tsdf=P("z"), cw=P("z"), wrap=P(), origin=P())
+    slice_spec = ExtractResult(
+        points=P("z"), colors=P("z"), weights=P("z"), count=P("z")
+    )
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(vol_spec,), out_specs=slice_spec,
+        check_vma=False,
+    )
+    def fetch(vol: VolumeState):
+        idx = jax.lax.axis_index("z")
+        return extract_slab(
+            vol, jnp.zeros(3, jnp.int32), (R, R, R), vsz, cap, idx, slab
+        )
+
+    return jax.jit(fetch)

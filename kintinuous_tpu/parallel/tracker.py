@@ -1,0 +1,180 @@
+"""Host wrapper around the multi-chip sharded tracking step.
+
+Mirrors tracking.tracker.Tracker's public surface (process_frame /
+flush / finalise / poses / slices / stats) so runtime.engine.SlamEngine
+can run the FULL pipeline — slices -> backend -> saves — on a sharded
+volume, the multi-chip analogue of the reference running everything as
+one system (src/MainController.cpp:66-160). Per-chip extraction
+buffers are concatenated on the host into the same CloudSlice records
+the backend consumes (src/frontend/CloudSlice.h role).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kintinuous_tpu.config import KintinuousConfig
+from kintinuous_tpu.parallel.sharded import (
+    make_sharded_extract,
+    make_sharded_state,
+    make_sharded_step,
+)
+from kintinuous_tpu.tracking.tracker import _AXIS_DIM, CloudSlice
+
+
+def build_mesh(n_devices: int):
+    """An n-device 1D mesh over the first n local devices (axis "z")."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        raise RuntimeError(
+            f"requested {n_devices} devices, only {len(devs)} available"
+        )
+    return Mesh(np.array(devs[:n_devices]), axis_names=("z",))
+
+
+class ShardedTracker:
+    """Tracker-compatible host wrapper over make_sharded_step."""
+
+    def __init__(self, cfg: KintinuousConfig, mesh=None,
+                 slice_callback: Optional[Callable[[CloudSlice], None]] = None,
+                 mesh_callback=None):
+        if cfg.fast_mode:
+            raise NotImplementedError(
+                "sharded fast path: use parallel.fast_sharded"
+            )
+        if cfg.incremental_mesh:
+            raise NotImplementedError(
+                "incremental mesh is single-chip only (use devices=1)"
+            )
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else build_mesh(cfg.devices)
+        self.n = self.mesh.shape["z"]
+        self._step_odom = make_sharded_step(cfg, self.mesh, use_odometry=True)
+        self._step_ext = make_sharded_step(cfg, self.mesh, use_odometry=False)
+        self._fetch_all = make_sharded_extract(cfg, self.mesh)
+        self.state = make_sharded_state(cfg, self.mesh)
+        self._pending: deque = deque()
+        self.slices: List[CloudSlice] = []
+        self.mesh_patches: List = []
+        self.poses: List[np.ndarray] = []
+        self.stamps_us: List[int] = []
+        self.slice_callback = slice_callback
+        self.pose_callback: Optional[Callable] = None
+        self.mesh_callback = mesh_callback
+        self._frame_idx = 0
+        self.stats = {"icp_count": [], "icp_residual": []}
+        self.shift_log: List[np.ndarray] = []
+
+    # ------------------------------------------------------------------
+    def process_frame(self, depth_mm, rgb, timestamp_us: int,
+                      ext_delta: Optional[np.ndarray] = None) -> None:
+        d = jnp.asarray(np.asarray(depth_mm).astype(np.float32))
+        if rgb is None:
+            rgb_f = jnp.zeros((*d.shape, 3), jnp.float32)
+        else:
+            rgb_f = jnp.asarray(np.asarray(rgb).astype(np.float32))
+        first = self._frame_idx == 0
+        with self.mesh:
+            if ext_delta is not None or first:
+                delta = jnp.asarray(
+                    np.eye(4, dtype=np.float32)
+                    if (first or ext_delta is None) else ext_delta
+                )
+                self.state, out = self._step_ext(self.state, d, rgb_f, delta)
+            else:
+                dummy = jnp.eye(4, dtype=jnp.float32)
+                self.state, out = self._step_odom(self.state, d, rgb_f, dummy)
+        self._pending.append((out, timestamp_us, self._frame_idx))
+        self._frame_idx += 1
+        while len(self._pending) > 1:
+            self._consume(*self._pending.popleft())
+
+    def flush(self) -> None:
+        while self._pending:
+            self._consume(*self._pending.popleft())
+
+    def _concat_chips(self, res) -> tuple:
+        """Per-chip stacked ExtractResult -> (points, colors, weights)."""
+        counts = np.asarray(res.count)
+        cap = res.points.shape[0] // self.n
+        pts, cols, wgts = (np.asarray(res.points), np.asarray(res.colors),
+                          np.asarray(res.weights))
+        segs_p, segs_c, segs_w = [], [], []
+        for k in range(self.n):
+            c = int(counts[k])
+            if c == 0:
+                continue
+            segs_p.append(pts[k * cap: k * cap + c])
+            segs_c.append(cols[k * cap: k * cap + c])
+            segs_w.append(wgts[k * cap: k * cap + c])
+        if not segs_p:
+            return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+                    np.zeros((0,), np.float32))
+        return (np.concatenate(segs_p), np.concatenate(segs_c),
+                np.concatenate(segs_w))
+
+    def _consume(self, out, timestamp_us: int, frame_idx: int) -> None:
+        pose_g = np.asarray(out.pose_global)
+        self.poses.append(pose_g)
+        self.stamps_us.append(timestamp_us)
+        if self.pose_callback:
+            self.pose_callback(timestamp_us, pose_g)
+        self.stats["icp_count"].append(float(out.icp_count))
+        self.stats["icp_residual"].append(float(out.icp_residual))
+        shift = np.asarray(out.shift)
+        self.shift_log.append(shift)
+        for axis in range(3):
+            s = int(shift[axis])
+            if s == 0:
+                continue
+            p, c, w = self._concat_chips(out.slices[axis])
+            if len(p) == 0:
+                continue
+            sl = CloudSlice(
+                points=p,
+                colors=np.clip(c, 0, 255).astype(np.uint8),
+                weights=w,
+                dimension=_AXIS_DIM[(axis, 1 if s > 0 else -1)],
+                pose=pose_g,
+                timestamp_us=timestamp_us,
+                frame_index=frame_idx,
+            )
+            self.slices.append(sl)
+            if self.slice_callback:
+                self.slice_callback(sl)
+
+    # ------------------------------------------------------------------
+    def finalise(self) -> CloudSlice:
+        """Whole-remaining-volume FINAL slice, extracted slab-locally
+        (KintinuousTracker.cpp:1003-1048)."""
+        self.flush()
+        with self.mesh:
+            res = self._fetch_all(self.state.vol)
+        p, c, w = self._concat_chips(res)
+        pose = self.poses[-1] if self.poses else np.eye(4)
+        ts = self.stamps_us[-1] if self.stamps_us else 0
+        sl = CloudSlice(
+            points=p,
+            colors=np.clip(c, 0, 255).astype(np.uint8),
+            weights=w,
+            dimension="FINAL",
+            pose=pose,
+            timestamp_us=ts,
+            frame_index=self._frame_idx,
+        )
+        self.slices.append(sl)
+        if self.slice_callback:
+            self.slice_callback(sl)
+        return sl
+
+    @property
+    def global_pose(self) -> np.ndarray:
+        self.flush()
+        return self.poses[-1] if self.poses else np.eye(4)

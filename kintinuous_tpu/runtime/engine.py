@@ -90,9 +90,17 @@ class SlamEngine:
             if (self.deformation is not None and cfg.incremental_mesh)
             else None
         )
-        self.tracker = Tracker(
-            cfg, slice_callback=self.slice_q.put, mesh_callback=mesh_cb
-        )
+        if cfg.devices > 1:
+            # multi-chip: full engine on the z-slab-sharded step
+            from kintinuous_tpu.parallel.tracker import ShardedTracker
+
+            self.tracker = ShardedTracker(
+                cfg, slice_callback=self.slice_q.put, mesh_callback=mesh_cb
+            )
+        else:
+            self.tracker = Tracker(
+                cfg, slice_callback=self.slice_q.put, mesh_callback=mesh_cb
+            )
         # stream per-frame poses when not deforming (the deformed
         # trajectory is only final at exit — KintinuousTracker.cpp:911-914
         # vs Deformation.cpp:31-56)
@@ -159,8 +167,8 @@ class SlamEngine:
             stamps, poses = load_trajectory(cfg.trajectory_file)
             gt = GroundTruthOdometry(stamps, poses)
 
-        if (cfg.fast_mode and gt is None and not cfg.frame_rate_limit
-                and not cfg.live_source):
+        if (cfg.fast_mode and cfg.devices == 1 and gt is None
+                and not cfg.frame_rate_limit and not cfg.live_source):
             return self._run_batched(progress)
 
         cam = cfg.camera

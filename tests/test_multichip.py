@@ -79,10 +79,12 @@ def test_sharded_matches_single_chip(mesh):
             dj = jnp.asarray(d.astype(np.float32))
             cj = jnp.asarray(c.astype(np.float32))
             if i == 0:
-                state, pose_g = step_ext(state, dj, cj, eye)
+                state, out = step_ext(state, dj, cj, eye)
             else:
-                state, pose_g = step_odo(state, dj, cj, eye)
-    np.testing.assert_allclose(np.asarray(pose_g), pose_single, atol=5e-4)
+                state, out = step_odo(state, dj, cj, eye)
+    np.testing.assert_allclose(
+        np.asarray(out.pose_global), pose_single, atol=5e-4
+    )
     vol_sharded = np.asarray(jax.device_get(state.vol.tsdf))
     np.testing.assert_allclose(vol_sharded, vol_single, atol=1e-4)
 
@@ -105,11 +107,11 @@ def test_slab_raycast_matches_allgather(mesh):
                 dj = jnp.asarray(d.astype(np.float32))
                 cj = jnp.asarray(c.astype(np.float32))
                 st = step_ext if i == 0 else step_odo
-                state, pose_g = st(state, dj, cj, eye)
+                state, out = st(state, dj, cj, eye)
         results.append(
             (np.asarray(jax.device_get(state.pred_vmap)),
              np.asarray(jax.device_get(state.pred_nmap)),
-             np.asarray(pose_g))
+             np.asarray(out.pose_global))
         )
     (va, na, pa), (vb, nb, pb) = results
     np.testing.assert_allclose(pa, pb, atol=1e-5)
@@ -120,3 +122,99 @@ def test_slab_raycast_matches_allgather(mesh):
     both = hits_a & hits_b
     np.testing.assert_allclose(va[:, both], vb[:, both], atol=1e-4)
     np.testing.assert_allclose(na[:, both], nb[:, both], atol=1e-3)
+
+
+def _sorted_rows(a):
+    a = np.asarray(a)
+    order = np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+    return a[order]
+
+
+def test_sharded_shift_extraction_matches_single_chip(mesh):
+    """Ground-truth replay along +x across shift thresholds: the
+    sharded step's slab-local band extraction must emit the SAME point
+    set as the single-chip tracker (no map loss under sharding —
+    KintinuousTracker.cpp:675-831 semantics)."""
+    from kintinuous_tpu.parallel.tracker import ShardedTracker
+    from kintinuous_tpu.io.synth import straight_trajectory
+
+    poses = straight_trajectory(25, distance=1.0, axis=0)
+    scene = Scene.default()
+
+    single = Tracker(CFG)
+    sharded = ShardedTracker(CFG, mesh=mesh)
+    last = None
+    for i, T in enumerate(poses):
+        depth_mm, rgb = render_frame(scene, CFG.camera, T)
+        delta = (
+            (np.linalg.inv(last) @ T).astype(np.float32)
+            if last is not None else np.eye(4, dtype=np.float32)
+        )
+        ts = int(i * 1e6 / 30)
+        single.process_frame(depth_mm, rgb, ts, ext_delta=delta)
+        sharded.process_frame(depth_mm, rgb, ts, ext_delta=delta)
+        last = T
+    single.flush()
+    sharded.flush()
+
+    np.testing.assert_allclose(
+        np.array(sharded.poses), np.array(single.poses), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.array(sharded.shift_log), np.array(single.shift_log)
+    )
+    dims_s = [s.dimension for s in single.slices]
+    dims_m = [s.dimension for s in sharded.slices]
+    assert dims_m == dims_s
+    assert any(d == "XPlus" for d in dims_s), "no shift fired — test broken"
+    for a, b in zip(single.slices, sharded.slices):
+        assert abs(len(a.points) - len(b.points)) == 0, (
+            f"{a.dimension}: {len(a.points)} vs {len(b.points)} points"
+        )
+        np.testing.assert_allclose(
+            _sorted_rows(a.points), _sorted_rows(b.points), atol=1e-5
+        )
+
+    fa = single.finalise()
+    fb = sharded.finalise()
+    assert len(fa.points) == len(fb.points)
+    np.testing.assert_allclose(
+        _sorted_rows(fa.points), _sorted_rows(fb.points), atol=1e-5
+    )
+
+
+def test_engine_multichip_end_to_end(mesh, tmp_path):
+    """Full engine (log -> tracker -> slice processor -> saves) on
+    devices=4: saved .pcd/.poses must match the devices=1 run."""
+    from kintinuous_tpu.io.pcd import load_pcd
+    from kintinuous_tpu.io.synth import generate_klg, straight_trajectory
+    from kintinuous_tpu.io.tum import load_trajectory
+    from kintinuous_tpu.runtime.engine import SlamEngine
+
+    log = str(tmp_path / "walk.klg")
+    gt = str(tmp_path / "walk.gt")
+    poses = straight_trajectory(25, distance=1.0, axis=0)
+    generate_klg(log, CFG.camera, poses, gt_path=gt)
+
+    outs = {}
+    for n in (1, 4):
+        cfg = CFG.replace(
+            log_file=log, trajectory_file=gt, devices=n,
+            save_file=str(tmp_path / f"out{n}"),
+        )
+        engine = SlamEngine(cfg).run()
+        outs[n] = engine.save()
+
+    s1, p1 = load_trajectory(outs[1]["poses"])
+    s4, p4 = load_trajectory(outs[4]["poses"])
+    np.testing.assert_allclose(s4, s1, atol=1e-9)
+    np.testing.assert_allclose(np.array(p4), np.array(p1), atol=1e-4)
+    c1 = load_pcd(outs[1]["cloud"])
+    c4 = load_pcd(outs[4]["cloud"])
+    assert len(c1["points"]) > 100
+    # slice processing (cull/downsample) runs per slice on both paths;
+    # identical inputs -> identical outputs
+    assert abs(len(c4["points"]) - len(c1["points"])) <= 2
+    np.testing.assert_allclose(
+        _sorted_rows(c4["points"]), _sorted_rows(c1["points"]), atol=1e-4
+    )
