@@ -47,16 +47,21 @@ class FastRaycastResult(NamedTuple):
     depth: jnp.ndarray  # (h,w) camera z (0 = miss)
 
 
-def build_pair_texture(tsdf_b: jnp.ndarray) -> jnp.ndarray:
+def build_pair_texture(tsdf_b: jnp.ndarray, xy_blocks: int | None = None) -> jnp.ndarray:
     """(B^3,4,128) f32 -> (B^3,512) u32 where entry v holds
     (bf16(t[x]) << 16) | bf16(t[x+1 mod R]) for the voxel at offset v
     and its +x neighbour (wrapping across block and volume boundaries).
 
     One elementwise pass + a block-row roll (~2 ms at 512^3), amortised
-    over ~1M raycast taps that each save 4 scalar gathers."""
-    B = round(tsdf_b.shape[0] ** (1 / 3))
-    flat = tsdf_b.reshape(B * B * B, 512)
-    t = flat.reshape(B, B, B, BLOCK, BLOCK, BLOCK)  # [bz,by,bx,dz,dy,dx]
+    over ~1M raycast taps that each save 4 scalar gathers.
+
+    xy_blocks: pass the x/y block count when tsdf_b holds only a
+    block-z SLAB of a larger volume (multi-chip fast path); the leading
+    dim is then Bz*B*B with Bz != B."""
+    B = xy_blocks if xy_blocks is not None else round(tsdf_b.shape[0] ** (1 / 3))
+    Bz = tsdf_b.shape[0] // (B * B)
+    flat = tsdf_b.reshape(Bz * B * B, 512)
+    t = flat.reshape(Bz, B, B, BLOCK, BLOCK, BLOCK)  # [bz,by,bx,dz,dy,dx]
     left = t[..., 1:]  # value at dx+1 for dx in 0..6
     nxt = jnp.roll(t, -1, axis=2)[..., :1]  # dx=0 of block bx+1 (mod B)
     xplus = jnp.concatenate([left, nxt], axis=-1).reshape(flat.shape)

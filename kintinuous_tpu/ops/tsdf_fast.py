@@ -135,8 +135,16 @@ def classify_blocks(
     cell: int = DEFAULT_CELL,
     dilate: int = 2,
     resolution: int | None = None,
+    z_blocks: int | None = None,
+    z_block_offset=0,
 ):
-    """-> (block_class (Bz,By,Bx) i32, in OUT/FREE/BAND)."""
+    """-> (block_class (Bz,By,Bx) i32, in OUT/FREE/BAND).
+
+    z_blocks/z_block_offset restrict classification to a physical
+    z-slab of blocks [offset, offset + z_blocks) — used by the
+    multi-chip fast path (parallel/fast_sharded.py) where each chip
+    owns a contiguous block-z range and classifies only its own rows.
+    """
     if resolution is not None:
         R = resolution
     elif vol.tsdf.ndim == 3 and vol.tsdf.shape[1:] == (4, 128):
@@ -146,6 +154,7 @@ def classify_blocks(
     else:
         R = round(vol.tsdf.shape[0] ** (1 / 3)) * BLOCK
     B = R // BLOCK
+    Bz = B if z_blocks is None else z_blocks
     H, W = cam.height, cam.width
     CELL = cell
     cu = tables.n_cells_u
@@ -157,9 +166,10 @@ def classify_blocks(
 
     # block centre local coords (wrap is a multiple of BLOCK)
     pb = jnp.arange(B, dtype=jnp.int32)
+    pbz = jnp.arange(Bz, dtype=jnp.int32) + z_block_offset
     gx = jnp.mod(pb * BLOCK - vol.wrap[0], R).astype(jnp.float32) + BLOCK / 2.0
     gy = jnp.mod(pb * BLOCK - vol.wrap[1], R).astype(jnp.float32) + BLOCK / 2.0
-    gz = jnp.mod(pb * BLOCK - vol.wrap[2], R).astype(jnp.float32) + BLOCK / 2.0
+    gz = jnp.mod(pbz * BLOCK - vol.wrap[2], R).astype(jnp.float32) + BLOCK / 2.0
     wx, wy, wz = gx * voxel_size, gy * voxel_size, gz * voxel_size
 
     def bc(vx, vy, vz, t):  # (B,)x (B,)y (B,)z -> (Bz,By,Bx)
@@ -250,19 +260,32 @@ def integrate_fast(
     cell: int = DEFAULT_CELL,
     dilate: int = 2,
     free_cap: int = 12288,  # max FREE blocks carved per frame
+    resolution: int | None = None,
+    z_block_offset=0,
 ) -> "BlockedVolume":
     """vol is BLOCK-MAJOR (ops/blocked.BlockedVolume): band updates are
     contiguous 2KB block-row gathers/scatters (near-bandwidth, vs
-    ~54ns/row for scattered 32B rowlets measured on v5e)."""
+    ~54ns/row for scattered 32B rowlets measured on v5e).
+
+    resolution/z_block_offset: when vol holds only a physical block-z
+    slab of a larger volume (multi-chip fast path), pass the FULL
+    volume resolution and this slab's first block-z index; updates are
+    then slab-local with zero communication."""
     from kintinuous_tpu.ops.blocked import BlockedVolume, CELLS
 
-    B = round(vol.tsdf.shape[0] ** (1 / 3))
-    R = B * BLOCK
+    if resolution is None:
+        B = round(vol.tsdf.shape[0] ** (1 / 3))
+        R = B * BLOCK
+    else:
+        R = resolution
+        B = R // BLOCK
+    Bz = vol.tsdf.shape[0] // (B * B)  # local block-z planes
     H, W = depth_m.shape
     tables = build_depth_tables(cam, depth_m, rgb, disc_mask, dilate=dilate, cell=cell)
     cls = classify_blocks(
         vol, cam, tables, T_cam_to_local, voxel_size, trunc_dist,
         cell=cell, dilate=dilate, resolution=R,
+        z_blocks=Bz, z_block_offset=z_block_offset,
     )
 
     tsdf, cw = vol.tsdf, vol.cw  # (B^3, 4, 128)
@@ -273,7 +296,7 @@ def integrate_fast(
     # (~4 ms); carving only the compacted FREE rows is ~5-10x cheaper.
     bandb = (cls == BAND).reshape(-1)
     bidx = jnp.cumsum(bandb.astype(jnp.int32)) - 1
-    all_ids = jnp.arange(B * B * B, dtype=jnp.int32)
+    all_ids = jnp.arange(Bz * B * B, dtype=jnp.int32)
     if carve:
         freeb = (cls == FREE).reshape(-1)
         fidx = jnp.cumsum(freeb.astype(jnp.int32)) - 1
@@ -313,7 +336,7 @@ def integrate_fast(
     c8 = cw[band_ids].reshape(band_cap, CELLS)
 
     # block id -> (bz,by,bx); voxel offsets within the 512-row
-    bz = band_ids // (B * B)
+    bz = band_ids // (B * B) + z_block_offset
     by = (band_ids // B) % B
     bx = band_ids % B
     off = jnp.arange(CELLS, dtype=jnp.int32)[None, :]  # (1,512)

@@ -45,10 +45,6 @@ class ShardedTracker:
     def __init__(self, cfg: KintinuousConfig, mesh=None,
                  slice_callback: Optional[Callable[[CloudSlice], None]] = None,
                  mesh_callback=None):
-        if cfg.fast_mode:
-            raise NotImplementedError(
-                "sharded fast path: use parallel.fast_sharded"
-            )
         if cfg.incremental_mesh:
             raise NotImplementedError(
                 "incremental mesh is single-chip only (use devices=1)"
@@ -56,10 +52,22 @@ class ShardedTracker:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else build_mesh(cfg.devices)
         self.n = self.mesh.shape["z"]
-        self._step_odom = make_sharded_step(cfg, self.mesh, use_odometry=True)
-        self._step_ext = make_sharded_step(cfg, self.mesh, use_odometry=False)
-        self._fetch_all = make_sharded_extract(cfg, self.mesh)
-        self.state = make_sharded_state(cfg, self.mesh)
+        if cfg.fast_mode:
+            from kintinuous_tpu.parallel.fast_sharded import (
+                make_fast_sharded_extract,
+                make_fast_sharded_state,
+                make_fast_sharded_step,
+            )
+
+            self._step_odom = make_fast_sharded_step(cfg, self.mesh, use_odometry=True)
+            self._step_ext = make_fast_sharded_step(cfg, self.mesh, use_odometry=False)
+            self._fetch_all = make_fast_sharded_extract(cfg, self.mesh)
+            self.state = make_fast_sharded_state(cfg, self.mesh)
+        else:
+            self._step_odom = make_sharded_step(cfg, self.mesh, use_odometry=True)
+            self._step_ext = make_sharded_step(cfg, self.mesh, use_odometry=False)
+            self._fetch_all = make_sharded_extract(cfg, self.mesh)
+            self.state = make_sharded_state(cfg, self.mesh)
         self._pending: deque = deque()
         self.slices: List[CloudSlice] = []
         self.mesh_patches: List = []

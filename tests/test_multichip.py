@@ -183,9 +183,11 @@ def test_sharded_shift_extraction_matches_single_chip(mesh):
     )
 
 
-def test_engine_multichip_end_to_end(mesh, tmp_path):
+@pytest.mark.parametrize("fast", [False, True], ids=["slow", "fast"])
+def test_engine_multichip_end_to_end(mesh, tmp_path, fast):
     """Full engine (log -> tracker -> slice processor -> saves) on
-    devices=4: saved .pcd/.poses must match the devices=1 run."""
+    devices=4: saved .pcd/.poses must match the devices=1 run — for
+    both the dense path and the blocked fast path."""
     from kintinuous_tpu.io.pcd import load_pcd
     from kintinuous_tpu.io.synth import generate_klg, straight_trajectory
     from kintinuous_tpu.io.tum import load_trajectory
@@ -199,7 +201,7 @@ def test_engine_multichip_end_to_end(mesh, tmp_path):
     outs = {}
     for n in (1, 4):
         cfg = CFG.replace(
-            log_file=log, trajectory_file=gt, devices=n,
+            log_file=log, trajectory_file=gt, devices=n, fast_mode=fast,
             save_file=str(tmp_path / f"out{n}"),
         )
         engine = SlamEngine(cfg).run()
