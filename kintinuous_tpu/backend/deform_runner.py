@@ -37,7 +37,14 @@ from kintinuous_tpu.tracking.tracker import CloudSlice
 class MapDeformation:
     def __init__(self, cfg: KintinuousConfig):
         self.cfg = cfg
-        self.graph = PoseGraph()
+        if cfg.num_processes > 1:
+            # multi-host: factor products of the GN solve shard over
+            # the global device mesh (parallel/multihost.py)
+            from kintinuous_tpu.parallel.multihost import DistributedPoseGraph
+
+            self.graph = DistributedPoseGraph()
+        else:
+            self.graph = PoseGraph()
         self.dgraph = DeformationGraph(
             k=cfg.deformation_k, sample_dist=cfg.dense_sampling_rate
         )

@@ -68,6 +68,97 @@ def _factor_system(poses, fi, fj, fZinv, fw):
     return r, Ji, Jj
 
 
+def gn_core(poses, fi, fj, fZinv, fw, iters: int, axis_name: str | None = None):
+    """Gauss-Newton with block-Jacobi-preconditioned CG on the normal
+    equations, matrix-free over factor arrays.
+
+    axis_name: when set, the factor arrays hold only this device's
+    shard and every factor-product reduction (gradient, JtJ matvec,
+    preconditioner diagonal, chi2) is psum'd over the mesh axis — the
+    multi-host distributed pose-graph solve (SURVEY.md §7 stage 6); the
+    replicated CG iteration then proceeds identically on every host.
+    """
+    N = poses.shape[0]
+
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    def energy_and_step(poses):
+        r, Ji, Jj = _factor_system(poses, fi, fj, fZinv, fw)
+
+        def matvec(x):
+            # x: (N,6) -> (J^T W J + lam D) x
+            u = jnp.einsum("fab,fb->fa", Ji, x[fi]) + jnp.einsum(
+                "fab,fb->fa", Jj, x[fj]
+            )
+            u = u * fw[:, None]
+            out = jnp.zeros_like(x)
+            out = out.at[fi].add(jnp.einsum("fba,fb->fa", Ji, u))
+            out = out.at[fj].add(jnp.einsum("fba,fb->fa", Jj, u))
+            out = _psum(out)
+            # gauge prior on node 0 (replicated, applied once post-psum)
+            out = out.at[0].add(1e6 * x[0])
+            return out + 1e-6 * x
+
+        # gradient b = -J^T W r
+        wr = r * fw[:, None]
+        b = jnp.zeros((N, 6), poses.dtype)
+        b = b.at[fi].add(-jnp.einsum("fba,fb->fa", Ji, wr))
+        b = b.at[fj].add(-jnp.einsum("fba,fb->fa", Jj, wr))
+        b = _psum(b)
+
+        # block-Jacobi preconditioner
+        diag = jnp.zeros((N, 6, 6), poses.dtype)
+        diag = diag.at[fi].add(
+            jnp.einsum("fba,f,fbc->fac", Ji, fw, Ji)
+        )
+        diag = diag.at[fj].add(
+            jnp.einsum("fba,f,fbc->fac", Jj, fw, Jj)
+        )
+        diag = _psum(diag)
+        diag = diag.at[0].add(1e6 * jnp.eye(6))
+        diag = diag + 1e-6 * jnp.eye(6)
+        Minv = jnp.linalg.inv(diag)
+
+        def precond(x):
+            return jnp.einsum("nab,nb->na", Minv, x)
+
+        # preconditioned CG
+        def cg_body(carry, _):
+            x, rr, p, rz = carry
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = jnp.vdot(rr, z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            p = z + beta * p
+            return (x, rr, p, rz_new), None
+
+        x0 = jnp.zeros((N, 6), poses.dtype)
+        z0 = precond(b)
+        (dx, *_), _ = jax.lax.scan(
+            cg_body, (x0, b, z0, jnp.vdot(b, z0)), None, length=50
+        )
+        chi2 = _psum(jnp.sum(fw * jnp.sum(r * r, axis=-1)))
+        return dx, chi2
+
+    def body(_, carry):
+        poses, _ = carry
+        dx, chi2 = energy_and_step(poses)
+        poses = poses @ se3.exp_se3(dx)
+        return poses, chi2
+
+    poses, chi2 = jax.lax.fori_loop(
+        0, iters, body, (poses, jnp.float32(0.0))
+    )
+    # final chi2 after the last update
+    r, _, _ = _factor_system(poses, fi, fj, fZinv, fw)
+    chi2 = _psum(jnp.sum(fw * jnp.sum(r * r, axis=-1)))
+    return poses, chi2
+
+
 class PoseGraph:
     """Host-facing pose graph with a jitted GN/CG core."""
 
@@ -135,79 +226,7 @@ class PoseGraph:
     @staticmethod
     @partial(jax.jit, static_argnums=(5,))
     def _gn(poses, fi, fj, fZinv, fw, iters: int):
-        N = poses.shape[0]
-
-        def energy_and_step(poses):
-            r, Ji, Jj = _factor_system(poses, fi, fj, fZinv, fw)
-
-            def matvec(x):
-                # x: (N,6) -> (J^T W J + lam D) x
-                u = jnp.einsum("fab,fb->fa", Ji, x[fi]) + jnp.einsum(
-                    "fab,fb->fa", Jj, x[fj]
-                )
-                u = u * fw[:, None]
-                out = jnp.zeros_like(x)
-                out = out.at[fi].add(jnp.einsum("fba,fb->fa", Ji, u))
-                out = out.at[fj].add(jnp.einsum("fba,fb->fa", Jj, u))
-                # gauge prior on node 0
-                out = out.at[0].add(1e6 * x[0])
-                return out + 1e-6 * x
-
-            # gradient b = -J^T W r
-            wr = r * fw[:, None]
-            b = jnp.zeros((N, 6), poses.dtype)
-            b = b.at[fi].add(-jnp.einsum("fba,fb->fa", Ji, wr))
-            b = b.at[fj].add(-jnp.einsum("fba,fb->fa", Jj, wr))
-
-            # block-Jacobi preconditioner
-            diag = jnp.zeros((N, 6, 6), poses.dtype)
-            diag = diag.at[fi].add(
-                jnp.einsum("fba,f,fbc->fac", Ji, fw, Ji)
-            )
-            diag = diag.at[fj].add(
-                jnp.einsum("fba,f,fbc->fac", Jj, fw, Jj)
-            )
-            diag = diag.at[0].add(1e6 * jnp.eye(6))
-            diag = diag + 1e-6 * jnp.eye(6)
-            Minv = jnp.linalg.inv(diag)
-
-            def precond(x):
-                return jnp.einsum("nab,nb->na", Minv, x)
-
-            # preconditioned CG
-            def cg_body(carry, _):
-                x, rr, p, rz = carry
-                Ap = matvec(p)
-                alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-20)
-                x = x + alpha * p
-                rr = rr - alpha * Ap
-                z = precond(rr)
-                rz_new = jnp.vdot(rr, z)
-                beta = rz_new / jnp.maximum(rz, 1e-20)
-                p = z + beta * p
-                return (x, rr, p, rz_new), None
-
-            x0 = jnp.zeros((N, 6), poses.dtype)
-            z0 = precond(b)
-            (dx, *_), _ = jax.lax.scan(
-                cg_body, (x0, b, z0, jnp.vdot(b, z0)), None, length=50
-            )
-            chi2 = jnp.sum(fw * jnp.sum(r * r, axis=-1))
-            return dx, chi2
-
-        def body(_, carry):
-            poses, _ = carry
-            dx, chi2 = energy_and_step(poses)
-            poses = poses @ se3.exp_se3(dx)
-            return poses, chi2
-
-        poses, chi2 = jax.lax.fori_loop(
-            0, iters, body, (poses, jnp.float32(0.0))
-        )
-        # final chi2 after the last update
-        r, _, _ = _factor_system(poses, fi, fj, fZinv, fw)
-        chi2 = jnp.sum(fw * jnp.sum(r * r, axis=-1))
-        return poses, chi2
+        return gn_core(poses, fi, fj, fZinv, fw, iters)
 
     @staticmethod
     def _bucket(n: int) -> int:

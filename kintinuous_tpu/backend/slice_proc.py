@@ -112,10 +112,43 @@ class SliceProcessor:
         self.processed.append(sl)
         return sl
 
-    def save(self, path: str, deoverlap: bool = False) -> int:
+    def local_payload(self) -> np.ndarray:
+        """(n, 9) [points|colors|normals] of this host's processed
+        slices — the DCN exchange unit for multi-host save
+        (parallel/multihost.allgather_points)."""
+        parts = [s.processed for s in self.processed if s.processed is not None]
+        if not parts:
+            return np.zeros((0, 9), np.float32)
+        return np.concatenate(
+            [
+                np.concatenate(
+                    [
+                        p["points"].astype(np.float32),
+                        np.asarray(p["colors"], np.float32).reshape(-1, 3),
+                        np.asarray(p["normals"], np.float32).reshape(-1, 3),
+                    ],
+                    axis=1,
+                )
+                for p in parts
+            ]
+        )
+
+    def save(self, path: str, deoverlap: bool = False,
+             merged_payload: np.ndarray | None = None) -> int:
         """Concatenate processed slices -> one .pcd
         (CloudSliceProcessor::save, :180-231). With deoverlap, re-runs a
-        voxel-grid pass over the union to collapse the shift overlaps."""
+        voxel-grid pass over the union to collapse the shift overlaps.
+        merged_payload: pre-merged (n,9) multi-host payload replacing
+        the local slice concat."""
+        if merged_payload is not None:
+            pts = merged_payload[:, 0:3].astype(np.float32)
+            cols = np.clip(merged_payload[:, 3:6], 0, 255).astype(np.uint8)
+            nrm = merged_payload[:, 6:9].astype(np.float32)
+            if len(pts) == 0:
+                save_pcd(path, np.zeros((0, 3), np.float32))
+                return 0
+            save_pcd(path, pts, cols, nrm)
+            return len(pts)
         parts = [s.processed for s in self.processed if s.processed is not None]
         if not parts:
             save_pcd(path, np.zeros((0, 3), np.float32))

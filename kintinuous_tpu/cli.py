@@ -110,6 +110,18 @@ def build_config(argv) -> KintinuousConfig:
         "--devices", dest="devices", type=int, default=1,
         help="shard the volume into z-slabs over N chips (ICI mesh)",
     )
+    p.add_argument(
+        "--num-processes", dest="num_processes", type=int, default=1,
+        help="jax.distributed process count (multi-host over DCN)",
+    )
+    p.add_argument(
+        "--process-id", dest="process_id", type=int, default=0,
+        help="this process's id in the multi-host run",
+    )
+    p.add_argument(
+        "--coordinator", dest="coordinator", type=str, default=None,
+        help="host:port of process 0's jax.distributed coordinator",
+    )
     a = p.parse_args(argv)
     if not a.log_file and not a.live_source:
         p.error("one of -l <log.klg> or -live <address> is required")
@@ -148,6 +160,9 @@ def build_config(argv) -> KintinuousConfig:
         save_file=a.save_file,
         fast_mode=a.fast_mode,
         devices=a.devices,
+        num_processes=a.num_processes,
+        process_id=a.process_id,
+        coordinator=a.coordinator,
     )
 
 

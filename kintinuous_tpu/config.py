@@ -180,6 +180,14 @@ class KintinuousConfig:
     # (1 = single chip; the reference is strictly single-GPU, this is
     # the new ICI scaling layer — SURVEY.md §2.7)
     devices: int = 1
+    # multi-host (DCN): jax.distributed process topology. When
+    # num_processes > 1 the engine calls jax.distributed.initialize,
+    # backend work partitions by HostPartition ownership and the
+    # pose-graph GN shards factor products over the global mesh
+    # (parallel/multihost.py — SURVEY.md §7 stage 6)
+    num_processes: int = 1
+    process_id: int = 0
+    coordinator: Optional[str] = None  # "host:port" of process 0
 
     def __post_init__(self):
         # reference clamps voxelShift to [1,16] (ConfigArgs.h:162-169)

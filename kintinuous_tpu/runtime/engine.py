@@ -72,6 +72,12 @@ class SlamEngine:
 
     def __init__(self, cfg: KintinuousConfig):
         self.cfg = cfg
+        if cfg.num_processes > 1:
+            # multi-host: bring up jax.distributed before any backend
+            # touch so jax.devices() spans every host (SURVEY §7 stage 6)
+            from kintinuous_tpu.parallel.multihost import init_distributed
+
+            init_distributed(cfg.coordinator, cfg.num_processes, cfg.process_id)
         self.sw = Stopwatch.get()
         self.sw.port = cfg.telemetry_port
         self._build()
@@ -110,6 +116,16 @@ class SlamEngine:
 
             self._pose_writer = TrajectoryWriter(f"{cfg.save_file}.poses")
             self.tracker.pose_callback = self._pose_writer.write
+        # multi-host: partition slice processing by ownership when the
+        # deformation thread (which needs every processed slice locally)
+        # is off; with deformation on, hosts replicate slice work and
+        # the pose-graph GN itself is the distributed part
+        self._slice_idx = 0
+        self._host_part = None
+        if cfg.num_processes > 1 and not cfg.online_deformation:
+            from kintinuous_tpu.parallel.multihost import HostPartition
+
+            self._host_part = HostPartition(cfg.num_processes, cfg.process_id)
         self.workers: List[Worker] = []
         self._end_of_log = threading.Event()
         # GUI proxies (reference MainController complete/pause,
@@ -129,6 +145,12 @@ class SlamEngine:
             return not (self._end_of_log.is_set() and self.slice_q.empty())
         if sl is _SENTINEL:
             return False
+        idx = self._slice_idx
+        self._slice_idx += 1
+        if self._host_part is not None and not self._host_part.owns(idx):
+            # multi-host: another host owns this slice's cull/downsample/
+            # normals work; results merge at save (allgather_points)
+            return True
         with self.sw.span("SliceProcessor"):
             self.slice_proc.process(sl)
         if self.deformation is not None:
@@ -415,7 +437,24 @@ class SlamEngine:
             save_trajectory(out["poses"], [t / 1e6 for t in ts], poses)
         else:
             out["cloud"] = f"{base}.pcd"
-            self.slice_proc.save(out["cloud"], deoverlap=self.cfg.save_deoverlap)
+            if self._host_part is not None:
+                # multi-host: merge every host's processed slices over
+                # DCN; process 0 writes the map (slice work divided by
+                # ownership in _slice_stage)
+                from kintinuous_tpu.parallel.multihost import (
+                    allgather_points,
+                    global_mesh,
+                )
+
+                merged = allgather_points(
+                    self.slice_proc.local_payload(), global_mesh()
+                )
+                import jax as _jax
+
+                if _jax.process_index() == 0:
+                    self.slice_proc.save(out["cloud"], merged_payload=merged)
+            else:
+                self.slice_proc.save(out["cloud"], deoverlap=self.cfg.save_deoverlap)
             out["poses"] = f"{base}.poses"
             save_trajectory(
                 out["poses"],
