@@ -205,6 +205,110 @@ def straight_trajectory(n_frames: int, distance: float, axis: int = 0) -> List[n
     return poses
 
 
+def corridor_scene(length: float = 8.0, half_width: float = 1.5) -> Scene:
+    """A long corridor along +x with geometry-rich walls: periodic
+    pillars, boxes and spheres on alternating sides so every viewpoint
+    along the walk sees curved + planar surfaces at multiple
+    orientations (all 6 ICP DOF constrained). The spatial analogue of
+    the reference's 'hundreds of metres' hallway runs (README.md:3)."""
+    spheres = []
+    cuboids = []
+    hw = half_width
+    x = -1.2
+    k = 0
+    # dense enough (every ~1.4 m, starting before the walk origin) that
+    # BOTH walk directions always have curved + planar structure in view
+    while x < length + 1.4:
+        side = 1.0 if k % 2 == 0 else -1.0
+        # wall pillar (floor to ceiling), protruding into the corridor
+        cuboids.append(
+            Cuboid(
+                np.array([x - 0.12, -hw, min(side * (hw - 0.35), side * hw) - 0.12]),
+                np.array([x + 0.12, hw, max(side * (hw - 0.35), side * hw) + 0.12]),
+            )
+        )
+        # mid-height sphere on the opposite wall
+        spheres.append(
+            Sphere(np.array([x + 0.45, 0.3 * side, -side * (hw - 0.45)]), 0.3)
+        )
+        # floor box (y is image-down, so +y is the floor), off-centre
+        cuboids.append(
+            Cuboid(
+                np.array([x + 0.8, hw - 0.5, side * 0.55 - 0.25]),
+                np.array([x + 1.2, hw, side * 0.55 + 0.25]),
+            )
+        )
+        # ceiling sphere for pitch/roll constraint
+        spheres.append(
+            Sphere(np.array([x + 1.0, -(hw - 0.4), -side * 0.5]), 0.25)
+        )
+        x += 1.4
+        k += 1
+    return Scene(
+        box_min=np.array([-1.8, -hw, -hw]),
+        box_max=np.array([length + 1.8, hw, hw]),
+        spheres=spheres,
+        cuboids=cuboids,
+    )
+
+
+def walk_loop_trajectory(
+    n_frames: int,
+    distance: float,
+    turn_frames: int = 30,
+    hold_frames: int = 6,
+    sway: float = 0.04,
+    warmup_frames: int = 10,
+) -> List[np.ndarray]:
+    """Out-and-back corridor walk with a revisit: walk +x looking +x,
+    smooth 180° turn at the far end, walk back looking -x, turn again
+    at the start so the final frames revisit frame 0's viewpoint (the
+    loop-closure trigger the reference demos with loop.klg,
+    README.md:164-170). Rotation rate stays ICP-trackable
+    (180°/turn_frames per frame)."""
+
+    def rot_y(theta):
+        c, s = np.cos(theta), np.sin(theta)
+        return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+    # base orientation: camera z (view) -> world +x is rot_y(+90°)
+    base = rot_y(np.pi / 2.0)
+    walk_frames = n_frames - 2 * turn_frames - hold_frames - warmup_frames
+    out_frames = walk_frames // 2
+    back_frames = walk_frames - out_frames
+    poses = []
+    xs = 0.0
+    for i in range(n_frames):
+        T = np.eye(4)
+        if i < warmup_frames:  # stand at the start (dynamic cube settles)
+            xs = 0.0
+            theta = 0.0
+        elif i < warmup_frames + out_frames:  # walk out, looking +x
+            frac = (i - warmup_frames) / max(out_frames - 1, 1)
+            xs = distance * frac
+            theta = 0.0
+        elif i < warmup_frames + out_frames + turn_frames:  # turn 180°
+            j = i - warmup_frames - out_frames
+            xs = distance
+            theta = np.pi * (j + 1) / turn_frames
+        elif i < warmup_frames + out_frames + turn_frames + back_frames:
+            j = i - warmup_frames - out_frames - turn_frames
+            frac = j / max(back_frames - 1, 1)
+            xs = distance * (1.0 - frac)
+            theta = np.pi
+        elif i < n_frames - hold_frames:  # turn back to +x at the start
+            j = i - (warmup_frames + out_frames + turn_frames + back_frames)
+            xs = 0.0
+            theta = np.pi * (1.0 + (j + 1) / turn_frames)
+        else:  # hold: revisit of frame 0's viewpoint
+            xs = 0.0
+            theta = 0.0
+        T[:3, :3] = base @ rot_y(theta)
+        T[:3, 3] = [xs, sway * np.sin(0.7 * i), sway * np.cos(0.9 * i)]
+        poses.append(T)
+    return poses
+
+
 def generate_klg(
     path: str,
     cam: CameraIntrinsics,

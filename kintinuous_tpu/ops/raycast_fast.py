@@ -45,6 +45,9 @@ class FastRaycastResult(NamedTuple):
     color: jnp.ndarray  # (3,h,w)
     weight: jnp.ndarray  # (h,w)
     depth: jnp.ndarray  # (h,w) camera z (0 = miss)
+    # fraction of valid rays answered by the measurement fallback rather
+    # than the model (pallas region misses); 0.0 for the gather paths
+    fallback_frac: jnp.ndarray | float = 0.0  # () f32
 
 
 def build_pair_texture(tsdf_b: jnp.ndarray, xy_blocks: int | None = None) -> jnp.ndarray:

@@ -1,0 +1,94 @@
+"""Scale-up accuracy gauntlet (CPU variant): a corridor walk with
+volume shifts on every axis, a revisit, and a loop closure, run through
+the production fast path end-to-end.
+
+This is the CI-sized sibling of bench.py's TPU traversal run — the
+operational definition of working SLAM the reference demos with
+loop.klg (README.md:164-206): track a long walk, persist the shifted-out
+map, detect the revisit, and non-rigidly correct the trajectory.
+"""
+
+import numpy as np
+import pytest
+
+from kintinuous_tpu.config import CameraIntrinsics, tiny_test_config
+from kintinuous_tpu.eval.ate import absolute_trajectory_error
+from kintinuous_tpu.io.synth import corridor_scene, generate_klg, walk_loop_trajectory
+from kintinuous_tpu.io.tum import load_trajectory
+from kintinuous_tpu.runtime.engine import SlamEngine
+
+# wide-angle camera: edge rays reach the hw=1.2 corridor walls inside
+# the 4 m volume's forward range (a narrow-FOV camera staring down a
+# corridor gives the model raycast nothing to track against)
+CAM = CameraIntrinsics(fx=90.0, fy=90.0, cx=80.0, cy=64.0, width=160, height=128)
+
+
+@pytest.fixture(scope="module")
+def corridor_log(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gauntlet")
+    log, gt = str(d / "corridor.klg"), str(d / "corridor.gt")
+    poses = walk_loop_trajectory(
+        180, distance=3.0, turn_frames=40, hold_frames=6, warmup_frames=12
+    )
+    generate_klg(
+        log, CAM, poses, scene=corridor_scene(4.5, half_width=1.2),
+        depth_noise_mm=2.0, gt_path=gt,
+    )
+    return log, gt, str(d)
+
+
+def test_corridor_gauntlet_fast_path(corridor_log):
+    log, gt, outdir = corridor_log
+    cfg = tiny_test_config(
+        camera=CAM, volume_size=4.0, volume_resolution=128, fast_mode=True,
+        voxel_shift=8, pyramid_levels=4, icp_iterations=(0, 10, 5, 0),
+        bilateral_radius=2, extraction_capacity=300_000, band_cap=2048,
+        pallas=False,
+        # corridor mode: reposition the cube toward the view direction
+        # (the reference's -dc, KintinuousTracker.cpp:384-442)
+        dynamic_cube=True,
+        log_file=log, online_deformation=True,
+        loop_throttle_s=0.0, place_rec_motion_thresh=0.15,
+        # the reference's >=40-match gate assumes 640x480 imagery
+        # (PlaceRecognition.cpp:152); at 160x128 (~1/16 the pixels,
+        # ~300 ORB keypoints) a correct revisit yields ~25-35 matches
+        loop_min_matches=20,
+        save_file=f"{outdir}/gauntlet",
+    )
+    engine = SlamEngine(cfg).run()
+    tr = engine.tracker
+
+    # --- spatial scaling actually exercised: shifts on every axis ----
+    shifts = np.array(tr.shift_log)
+    n_x = int((shifts[:, 0] != 0).sum())
+    n_z = int((shifts[:, 2] != 0).sum())
+    assert n_x >= 3, f"only {n_x} x-shifts over a 3 m out-and-back"
+    assert n_z >= 3, f"only {n_z} z-shifts"
+    assert len(tr.slices) >= 8, f"only {len(tr.slices)} slices extracted"
+
+    # --- tracking never lost -----------------------------------------
+    assert min(tr.stats["icp_count"][2:]) > 500, "ICP lost the corridor"
+
+    # --- loop closure detected, verified, and accepted ----------------
+    assert len(engine.place_rec.constraints) >= 1, "revisit not detected"
+    assert engine.deformation.n_loops_accepted >= 1, "loop rejected"
+
+    # --- accuracy: bounded drift, deformation improves it -------------
+    gs, gp = load_trajectory(gt)
+    ate_pre, n = absolute_trajectory_error(
+        gs, gp, np.array(tr.stamps_us) / 1e6, np.array(tr.poses)
+    )
+    assert n == 180
+    assert ate_pre < 0.35, f"pre-loop ATE {ate_pre*100:.1f} cm too high"
+    outs = engine.save()
+    es, ep = load_trajectory(outs["poses"])
+    ate_post, _ = absolute_trajectory_error(gs, gp, es, ep)
+    assert ate_post < ate_pre * 0.85, (
+        f"deformation did not improve ATE: {ate_pre*100:.1f} -> "
+        f"{ate_post*100:.1f} cm"
+    )
+    # the corrected map exists and is substantial
+    from kintinuous_tpu.io.pcd import load_pcd
+
+    cloud = load_pcd(outs["cloud"])
+    assert len(cloud["points"]) > 10_000
