@@ -1,31 +1,271 @@
 #!/usr/bin/env python
-"""Benchmark: dense SLAM frames/s on the real TPU chip.
+"""Benchmark: dense SLAM on the real TPU chip, three configs + stage table.
 
-Runs the production fast-mode tracker (512^3 volume, 640x480 frames,
-on-device ICP odometry + block-classified TSDF fusion + warm-started
-raycast, batched dispatch) over a synthetic orbit sequence and reports
-throughput against the reference's 30 Hz real-time requirement
-(reference README.md:194: "ensure you're hitting 30Hz, this is
-important").
+Rows (written to BENCH_NOTES.md; headline printed as ONE JSON line):
+  A. orbit, ICP-only fast+Pallas tracker, 640x480 / 512^3  (headline fps,
+     BASELINE config 1 role: reference 30 Hz bar, README.md:194)
+  B. orbit, fused ICP+RGB-D odometry (-ri, BASELINE config 2 role)
+  C. corridor traversal with volume shifts, revisit + loop closure:
+     full engine (slices -> PR -> pose graph -> deformation) for
+     accuracy metrics, device-resident tracker pass for traversal fps
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Frame-transport note (every round): production sensor ingest rides PCIe
+(GB/s); this dev environment tunnels host<->device at ~32 MB/s, so
+timed passes keep frames device-resident and assemble batches with an
+on-device gather — streaming raw frames through the tunnel would
+benchmark the tunnel (~23 fps ceiling at 640x480), not the engine.
+Every per-frame stage from the raw uint16/uint8 cast onward runs.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+BATCH = 32
 
-def main():
-    sys.path.insert(0, "/root/repo")
+
+def _orbit_frames(cfg, n_unique=12):
+    from kintinuous_tpu.io.synth import Scene, orbit_trajectory, render_frame
+
+    poses = orbit_trajectory(n_unique, radius=0.06, angle_deg=3.0)
+    return [render_frame(Scene.default(), cfg.camera, T) for T in poses]
+
+
+def _pingpong(i, n):
+    period = 2 * (n - 1)
+    k = i % period
+    return k if k < n else period - k
+
+
+def _bench_orbit(cfg, frames, n_frames=96):
+    """Device-resident orbit throughput for one tracker config."""
     import jax
     import jax.numpy as jnp
 
-    from kintinuous_tpu.config import KintinuousConfig
-    from kintinuous_tpu.io.synth import Scene, orbit_trajectory, render_frame
     from kintinuous_tpu.tracking.tracker import Tracker
+
+    n_unique = len(frames)
+    tracker = Tracker(cfg)
+    tracker.process_frames(
+        [
+            (frames[_pingpong(i, n_unique)][0], frames[_pingpong(i, n_unique)][1],
+             i * 33333)
+            for i in range(1 + BATCH)
+        ]
+    )
+    dev_depths = jnp.asarray(np.stack([np.asarray(f[0], np.uint16) for f in frames]))
+    dev_rgbs = jnp.asarray(np.stack([np.asarray(f[1], np.uint8) for f in frames]))
+    gather = jax.jit(lambda idx: (dev_depths[idx], dev_rgbs[idx]))
+    jax.block_until_ready(gather(jnp.zeros((BATCH,), jnp.int32)))
+
+    t0 = time.perf_counter()
+    for k in range(0, n_frames, BATCH):
+        idx = jnp.asarray(
+            [_pingpong(k + j + 1 + BATCH, n_unique) for j in range(BATCH)],
+            jnp.int32,
+        )
+        d_b, c_b = gather(idx)
+        ts = [(k + j + 1 + BATCH) * 33333 for j in range(BATCH)]
+        tracker.process_batch_device(d_b, c_b, ts)
+    tracker.flush()
+    elapsed = time.perf_counter() - t0
+    fps = n_frames / elapsed
+    assert min(tracker.stats["icp_count"][-10:]) > 2000, "ICP lost tracking"
+    fb = tracker.stats.get("raycast_fallback", [])
+    fb_mean = float(np.mean(fb[-n_frames:])) if fb else 0.0
+    return fps, fb_mean
+
+
+def _corridor_cache(cfg, n_frames=120):
+    """Render (or load cached) corridor walk frames + GT + klg."""
+    from kintinuous_tpu.io.synth import (
+        corridor_scene,
+        generate_klg,
+        walk_loop_trajectory,
+    )
+
+    cache = f"/tmp/kintinuous_bench_corridor_{n_frames}.npz"
+    log = f"/tmp/kintinuous_bench_corridor_{n_frames}.klg"
+    gt = f"/tmp/kintinuous_bench_corridor_{n_frames}.gt"
+    poses = walk_loop_trajectory(
+        n_frames, distance=4.0, turn_frames=30, hold_frames=6, warmup_frames=10
+    )
+    if not (os.path.exists(cache) and os.path.exists(log) and os.path.exists(gt)):
+        scene = corridor_scene(6.0, half_width=1.5)
+        generate_klg(log, cfg.camera, poses, scene=scene, depth_noise_mm=2.0,
+                     gt_path=gt)
+        from kintinuous_tpu.io.klg import KlgLogReader
+
+        ds, cs = [], []
+        for fr in KlgLogReader(log):
+            ds.append(fr.depth)
+            cs.append(fr.rgb)
+        np.savez(cache, depths=np.stack(ds), rgbs=np.stack(cs))
+    data = np.load(cache)
+    return data["depths"], data["rgbs"], poses, log, gt
+
+
+def _bench_traversal(cfg_base, n_frames=120):
+    """C1: device-resident traversal fps; C2: engine accuracy run."""
+    import jax
+    import jax.numpy as jnp
+
+    from kintinuous_tpu.eval.ate import absolute_trajectory_error
+    from kintinuous_tpu.io.tum import load_trajectory
+    from kintinuous_tpu.runtime.engine import SlamEngine
+    from kintinuous_tpu.tracking.tracker import Tracker
+
+    cfg = cfg_base.replace(dynamic_cube=True)
+    depths, rgbs, poses, log, gt = _corridor_cache(cfg, n_frames)
+
+    # --- C1: traversal fps, frontend only, device-resident -----------
+    tracker = Tracker(cfg)
+    tracker.process_frames(
+        [(depths[i], rgbs[i], i * 33333) for i in range(1 + BATCH)]
+    )
+    dev_d = jnp.asarray(depths.astype(np.uint16))
+    dev_c = jnp.asarray(rgbs.astype(np.uint8))
+    gather = jax.jit(lambda idx: (dev_d[idx], dev_c[idx]))
+    jax.block_until_ready(gather(jnp.zeros((BATCH,), jnp.int32)))
+    timed = 0
+    t0 = time.perf_counter()
+    for k in range(1 + BATCH, n_frames - BATCH + 1, BATCH):
+        idx = jnp.arange(k, k + BATCH, dtype=jnp.int32)
+        d_b, c_b = gather(idx)
+        tracker.process_batch_device(d_b, c_b, [i * 33333 for i in range(k, k + BATCH)])
+        timed += BATCH
+    tracker.flush()
+    fps = timed / (time.perf_counter() - t0)
+    shifts = np.array(tracker.shift_log)
+    n_shift = int((shifts != 0).any(axis=1).sum())
+
+    # --- C2: full pipeline accuracy (untimed; tunnel-fed klg) --------
+    cfg_e = cfg.replace(
+        log_file=log, online_deformation=True, loop_throttle_s=0.0,
+        place_rec_motion_thresh=0.15, save_file="/tmp/kintinuous_bench_out",
+    )
+    engine = SlamEngine(cfg_e).run()
+    tr = engine.tracker
+    gs, gp = load_trajectory(gt)
+    ate_pre, _ = absolute_trajectory_error(
+        gs, gp, np.array(tr.stamps_us) / 1e6, np.array(tr.poses)
+    )
+    outs = engine.save()
+    es, ep = load_trajectory(outs["poses"])
+    ate_post, _ = absolute_trajectory_error(gs, gp, es, ep)
+    return {
+        "fps": fps,
+        "shift_events": n_shift,
+        "engine_shift_events": int(
+            (np.array(tr.shift_log) != 0).any(axis=1).sum()
+        ),
+        "slices": len(tr.slices),
+        "loops_accepted": engine.deformation.n_loops_accepted,
+        "ate_preloop_cm": ate_pre * 100.0,
+        "ate_final_cm": ate_post * 100.0,
+    }
+
+
+def _stage_table(cfg):
+    """Per-stage device-time microbench at production shapes (the
+    stopwatch can't split stages inside the fused jitted step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kintinuous_tpu.ops import preprocess as pp
+    from kintinuous_tpu.ops.blocked import make_blocked_volume
+    from kintinuous_tpu.ops.pallas_integrate import integrate_pallas
+    from kintinuous_tpu.ops.pallas_raycast import raycast_pallas
+    from kintinuous_tpu.io.synth import Scene, render_frame
+    from kintinuous_tpu.ops import maps as map_ops
+    from kintinuous_tpu.tracking.odometry import (
+        build_map_pyramid,
+        icp_odometry,
+        pyramid_from_maps,
+    )
+
+    cam = cfg.camera
+    cam_half = cam.at_level(1)
+    depth_mm, rgb = render_frame(Scene.default(), cam, np.eye(4))
+    depth_mm = jnp.asarray(depth_mm.astype(np.float32))
+    rgb = jnp.asarray(rgb.astype(np.float32))
+    pose = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(cfg.volume_size / 2.0)
+    vol = make_blocked_volume(cfg.volume_resolution)
+    vsz, trunc = cfg.voxel_size, cfg.trunc_dist
+
+    def pre(depth_mm, rgb):
+        f = pp.bilateral_filter(
+            depth_mm, cfg.bilateral_sigma_depth, cfg.bilateral_sigma_space,
+            cfg.bilateral_radius,
+        )
+        depth_m = pp.depth_to_metres(f, cfg.max_depth)
+        dh = pp.pyr_down_depth(depth_m, sigma=0.09)
+        disc = pp.depth_discontinuity_mask(depth_m, radius=3, jump_m=0.2)
+        cw = map_ops.color_fusion_weight(cam, depth_m, disc, angle=True)
+        return depth_m, dh, cw
+
+    depth_m, depth_half, color_w = jax.jit(pre)(depth_mm, rgb)
+
+    def integ(vol, depth_m, rgb, color_w):
+        return integrate_pallas(
+            vol, cam, depth_m, rgb, color_w, pose, vsz, trunc, 128.0,
+            band_cap=cfg.band_cap, fb_cap=cfg.fallback_band_cap,
+        )
+
+    def rayc(vol, depth_half):
+        return raycast_pallas(
+            vol, cam_half, pose, None, depth_half, vsz, cfg.volume_size,
+            trunc, newton=cfg.raycast_newton_iters,
+        )
+
+    def icp(depth_half, rc_vmap, rc_nmap):
+        curr = build_map_pyramid(cam_half, depth_half, 3)
+        pred = pyramid_from_maps(rc_vmap, rc_nmap, 3)
+        T, cnt, res = icp_odometry(
+            cam_half, curr, pred, (10, 5, 0), cfg.icp_dist_thresh,
+            cfg.icp_angle_thresh_deg, reassoc_every=cfg.icp_reassoc_every,
+        )
+        return T
+
+    j_pre = jax.jit(pre)
+    j_int = jax.jit(integ, donate_argnums=(0,))
+    j_ray = jax.jit(rayc)
+    j_icp = jax.jit(icp)
+
+    vol1 = j_int(vol, depth_m, rgb, color_w)
+    rc = j_ray(vol1, depth_half)
+    jax.block_until_ready(j_icp(depth_half, rc.vmap, rc.nmap))
+
+    def clock(fn, *args, reps=20, donate_src=None):
+        # donated-arg fns get a fresh copy per reaching call
+        outs = None
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            outs = fn(*args)
+            if donate_src is not None:
+                args = (outs,) + args[1:]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / reps * 1000.0
+
+    ms = {}
+    ms["preprocess"] = clock(j_pre, depth_mm, rgb)
+    ms["integrate_pallas"] = clock(j_int, vol1, depth_m, rgb, color_w,
+                                   donate_src=True)
+    # re-make volume (donated away above)
+    vol1 = jax.jit(integ, donate_argnums=(0,))(
+        make_blocked_volume(cfg.volume_resolution), depth_m, rgb, color_w
+    )
+    ms["raycast_pallas"] = clock(j_ray, vol1, depth_half)
+    ms["icp_3level"] = clock(j_icp, depth_half, rc.vmap, rc.nmap)
+    return {k: round(v, 2) for k, v in ms.items()}
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    from kintinuous_tpu.config import KintinuousConfig
 
     cfg = KintinuousConfig(
         fast_mode=True,
@@ -33,65 +273,61 @@ def main():
         fast_odometry=True,
         extraction_capacity=500_000,
     )
-    cam = cfg.camera
-    n_unique = 12
-    poses = orbit_trajectory(n_unique, radius=0.06, angle_deg=3.0)
-    frames = [render_frame(Scene.default(), cam, T) for T in poses]
+    t_start = time.time()
+    frames = _orbit_frames(cfg)
 
-    def pingpong(i):
-        # 0,1,...,n-1,n-2,...,1,0,1,... so consecutive frames are always
-        # neighbours on the trajectory (ICP-trackable)
-        period = 2 * (n_unique - 1)
-        k = i % period
-        return k if k < n_unique else period - k
+    fps_icp, fb_icp = _bench_orbit(cfg, frames)
+    fps_rgbd, _ = _bench_orbit(cfg.replace(icp_plus_rgbd=True), frames)
+    trav = _bench_traversal(cfg)
+    stages = _stage_table(cfg)
 
-    tracker = Tracker(cfg)
-    batch = 32
-    # warm-up: first frame (ext path) + one batch (compiles batched step)
-    tracker.process_frames(
-        [(frames[pingpong(i)][0], frames[pingpong(i)][1], i * 33333)
-         for i in range(1 + batch)]
-    )
+    notes = f"""# BENCH NOTES (auto-written by bench.py)
 
-    # The 12 unique orbit frames live on-device; each batch is assembled
-    # by a device-side index gather. Rationale: production sensor ingest
-    # rides PCIe (GB/s, <0.2 ms/frame at 640x480) while this dev
-    # environment tunnels host<->device at ~32 MB/s — streaming raw
-    # frames through the tunnel would benchmark the tunnel (23 fps
-    # ceiling), not the engine. Every per-frame stage from the raw
-    # uint16/uint8 cast onward still runs.
-    import numpy as _np
+All rows on the single real TPU chip via the dev tunnel. Timed passes
+keep frames device-resident (PCIe-in-production rationale in bench.py
+docstring); the traversal ENGINE run (accuracy only) is untimed and
+tunnel-fed.
 
-    dev_depths = jnp.asarray(
-        _np.stack([_np.asarray(f[0], _np.uint16) for f in frames]))
-    dev_rgbs = jnp.asarray(
-        _np.stack([_np.asarray(f[1], _np.uint8) for f in frames]))
-    gather = jax.jit(lambda idx: (dev_depths[idx], dev_rgbs[idx]))
-    jax.block_until_ready(gather(jnp.zeros((batch,), jnp.int32)))  # warm
+| Config | Metric | Value |
+|---|---|---|
+| A. orbit, ICP-only, 640x480/512^3 (headline) | fps | {fps_icp:.2f} |
+| B. orbit, fused ICP+RGB-D (-ri role) | fps | {fps_rgbd:.2f} |
+| C. corridor traversal (shift-heavy, -dc) | fps (frontend) | {trav['fps']:.2f} |
+| C. traversal accuracy (full engine) | pre-loop ATE | {trav['ate_preloop_cm']:.2f} cm |
+| C. traversal accuracy (full engine) | final ATE | {trav['ate_final_cm']:.2f} cm |
+| C. traversal | shift events / slices / loops | {trav['engine_shift_events']} / {trav['slices']} / {trav['loops_accepted']} |
 
-    n_frames = 96
-    t0 = time.perf_counter()
-    for k in range(0, n_frames, batch):
-        idx = jnp.asarray(
-            [pingpong(k + j + 1 + batch) for j in range(batch)], jnp.int32)
-        d_b, c_b = gather(idx)
-        ts = [(k + j + 1 + batch) * 33333 for j in range(batch)]
-        tracker.process_batch_device(d_b, c_b, ts)
-    tracker.flush()  # drain the lagged batch outputs (outside the clock
-    # they cost one final round-trip; in steady state they overlap)
-    elapsed = time.perf_counter() - t0
-    fps = n_frames / elapsed
+Pallas raycast measurement-fallback fraction (orbit, in-volume rays):
+{fb_icp:.4f}.
 
-    # sanity: tracking must actually be working, not just fast
-    assert min(tracker.stats["icp_count"][-10:]) > 2000, "ICP lost tracking"
+Per-stage device time at production shapes (ms, jitted separately —
+the fused step overlaps some of these):
+
+| Stage | ms |
+|---|---|
+""" + "\n".join(f"| {k} | {v} |" for k, v in stages.items()) + f"""
+
+Frame budget: 33.3 ms at 30 Hz; headline frame time {1000.0/fps_icp:.1f} ms.
+Total bench wall time {time.time()-t_start:.0f} s.
+"""
+    with open("/root/repo/BENCH_NOTES.md", "w") as f:
+        f.write(notes)
 
     print(
         json.dumps(
             {
                 "metric": "dense_slam_fps_640x480_512vox",
-                "value": round(fps, 2),
+                "value": round(fps_icp, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 3),
+                "vs_baseline": round(fps_icp / 30.0, 3),
+                "fps_fused_rgbd": round(fps_rgbd, 2),
+                "fps_traversal": round(trav["fps"], 2),
+                "traversal_ate_preloop_cm": round(trav["ate_preloop_cm"], 2),
+                "traversal_ate_final_cm": round(trav["ate_final_cm"], 2),
+                "traversal_shift_events": trav["engine_shift_events"],
+                "traversal_loops_accepted": trav["loops_accepted"],
+                "pallas_fallback_frac": round(fb_icp, 4),
+                "stage_ms": stages,
             }
         )
     )

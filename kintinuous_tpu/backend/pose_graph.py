@@ -236,8 +236,21 @@ class PoseGraph:
         return b
 
     def optimise(self, iters: int = 10) -> float:
-        """Batch GN; updates node poses in place; returns normalised chi2
-        (the reference gates loops on this, Deformation.cpp:256)."""
+        """Batch GN; updates node poses in place; returns TOTAL chi2 —
+        the reference's `_slam->chi2()` (iSAMInterface.cpp:136-140),
+        gated at isam_thresh=10 by Deformation.cpp:256.
+
+        Gate calibration (tests/test_pose_graph.py): with the default
+        information weight 1e3 (cov 1e-3, iSAMInterface.cpp:44-83) on a
+        200-node corridor graph, a drift-consistent loop leaves total
+        chi2 ~0.1-3, a grossly wrong loop (>=1 m / 30 deg — the aliased-
+        place false positives the gate exists for) drives it past 10.
+        Small loop errors (~5 cm) produce chi2 ~1 and are accepted —
+        indistinguishable from genuine drift absorption at this scale;
+        rejecting those is the PR verification ICP's job
+        (PlaceRecognition.cpp:191-196), identical to the reference.
+        An earlier build divided by the active-factor count, which made
+        the default gate ~10^3 too loose (never rejecting anything)."""
         if not self._fw:
             return 0.0
         N = len(self.poses)
@@ -259,8 +272,7 @@ class PoseGraph:
         out = np.asarray(out, np.float64)
         for k in range(N):
             self.poses[k] = out[k]
-        n_active = max(1, int((fw > 0).sum()))
-        return float(chi2) / n_active
+        return float(chi2)
 
     def get_pose(self, time: int) -> np.ndarray:
         return self.poses[self._time_to_id[int(time)]]

@@ -165,5 +165,5 @@ class DistributedPoseGraph(PoseGraph):
         out = np.asarray(jax.device_get(out), np.float64)
         for k in range(N):
             self.poses[k] = out[k]
-        n_active = max(1, int((fw > 0).sum()))
-        return float(np.asarray(chi2)) / n_active
+        # TOTAL chi2 — same gate semantics as PoseGraph.optimise
+        return float(np.asarray(chi2))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections import deque
 from typing import Callable, List, Optional
 
+import time as _time
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -153,6 +154,7 @@ class ShardedTracker:
                 pose=pose_g,
                 timestamp_us=timestamp_us,
                 frame_index=frame_idx,
+                wall_time=_time.time(),
             )
             self.slices.append(sl)
             if self.slice_callback:
@@ -176,6 +178,7 @@ class ShardedTracker:
             pose=pose,
             timestamp_us=ts,
             frame_index=self._frame_idx,
+            wall_time=_time.time(),
         )
         self.slices.append(sl)
         if self.slice_callback:

@@ -153,8 +153,19 @@ class SlamEngine:
             return True
         with self.sw.span("SliceProcessor"):
             self.slice_proc.process(sl)
+        # backpressure metric: how far this stage runs behind the
+        # frontend (per-thread lagTime, ThreadObject.h:69 /
+        # CloudSliceProcessor.cpp:165-168)
+        if sl.wall_time:
+            self.sw.gauge(
+                "lag.SliceProcessor", (time.time() - sl.wall_time) * 1e3
+            )
         if self.deformation is not None:
             self.deformation.add_slice(sl)
+            if sl.wall_time:
+                self.sw.gauge(
+                    "lag.Deformation", (time.time() - sl.wall_time) * 1e3
+                )
         return True
 
     def _pr_stage(self) -> bool:
@@ -164,13 +175,19 @@ class SlamEngine:
             return not self._end_of_log.is_set()
         if item is _SENTINEL:
             return False
-        rgb, depth_m, pose, ts = item
+        rgb, depth_m, pose, ts, wall = item
         with self.sw.span("PlaceRecognition"):
             c = self.place_rec.add_keyframe(rgb, depth_m, pose, ts)
+        self.sw.gauge("lag.PlaceRecognition", (time.time() - wall) * 1e3)
         if c is not None and self.deformation is not None:
             with self.sw.span("Deformation"):
                 self.deformation.add_loop(c)
         return True
+
+    @property
+    def backend_lag_ms(self) -> float:
+        """Max backend stage lag (GUI max-lag, MainController.cpp:363-373)."""
+        return self.sw.max_gauge("lag.")
 
     # ---------------------------------------------------------- running
     def run(self, progress=None) -> "SlamEngine":
@@ -385,7 +402,8 @@ class SlamEngine:
                     self._last_kf_pose = pose
                     try:
                         self.kf_q.put_nowait(
-                            (rgb, depth.astype(np.float32) / 1000.0, pose, ts)
+                            (rgb, depth.astype(np.float32) / 1000.0, pose, ts,
+                             time.time())
                         )
                     except queue.Full:
                         pass
@@ -418,7 +436,7 @@ class SlamEngine:
                 self._last_kf_pose = pose
                 depth_m = depth.astype(np.float32) / 1000.0
                 try:
-                    self.kf_q.put_nowait((rgb, depth_m, pose, ts))
+                    self.kf_q.put_nowait((rgb, depth_m, pose, ts, time.time()))
                 except queue.Full:  # PR lags: drop keyframes, not frames
                     pass
             if self.deformation is not None:

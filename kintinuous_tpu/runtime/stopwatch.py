@@ -81,6 +81,23 @@ class Stopwatch:
             self._timings[f"pulse.{name}"] = 0.0
         self.send_all()
 
+    def gauge(self, name: str, value_ms: float):
+        """Publish an instantaneous value (the reference's per-thread
+        lagTime metric, ThreadObject.h:69 — each backend stage reports
+        now - source-frame wall clock; the GUI shows the max,
+        MainController.cpp:363-373)."""
+        with self._mutex:
+            self._timings[name] = float(value_ms)
+            self._counts[name] += 1
+            self._totals[name] += float(value_ms)
+        self.send_all()
+
+    def max_gauge(self, prefix: str = "lag.") -> float:
+        """Max current value over gauges with the prefix (GUI max-lag)."""
+        with self._mutex:
+            vals = [v for k, v in self._timings.items() if k.startswith(prefix)]
+        return max(vals) if vals else 0.0
+
     def send_all(self):
         if not self.enabled:
             return

@@ -30,6 +30,7 @@ from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable, List, NamedTuple, Optional, Tuple
 
+import time as _time
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,6 +126,10 @@ class CloudSlice:
     timestamp_us: int
     frame_index: int
     processed: Optional[dict] = None  # filled by the backend slice processor
+    # wall clock at host materialisation — backend stages publish
+    # now - wall_time as their lag (CloudSlice.h lagTime role,
+    # ThreadObject.h:69)
+    wall_time: float = 0.0
 
 
 def make_step(cfg: KintinuousConfig, use_odometry: bool):
@@ -840,6 +845,7 @@ class Tracker:
                 pose=np.asarray(poses_g[fidx]),
                 timestamp_us=ts_list[fidx],
                 frame_index=len(self.poses) - B + fidx,
+                wall_time=_time.time(),
             )
             self.slices.append(sl)
             if self.slice_callback:
@@ -896,6 +902,7 @@ class Tracker:
                 pose=pose_g,
                 timestamp_us=timestamp_us,
                 frame_index=frame_idx,
+                wall_time=_time.time(),
             )
             self.slices.append(sl)
             if self.slice_callback:
@@ -936,6 +943,7 @@ class Tracker:
             pose=pose,
             timestamp_us=ts,
             frame_index=self._frame_idx,
+            wall_time=_time.time(),
         )
         self.slices.append(sl)
         if self.slice_callback:

@@ -72,6 +72,8 @@ def stats_panel(engine) -> dict:
         "loops_rejected": (
             engine.deformation.n_loops_rejected if engine.deformation else 0
         ),
+        # max backend stage lag (PangoVis.cpp:597-599 role)
+        "backend_lag_ms": round(engine.backend_lag_ms, 1),
         "stage_ms": {
             k: round(v["mean_ms"], 2)
             for k, v in sw.items()

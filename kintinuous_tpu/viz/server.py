@@ -201,10 +201,9 @@ class ViewerServer:
             [float(T[0, 3]), float(T[1, 3]), float(T[2, 3])]
             for T in poses[::step]
         ]
-        lag = 0.0
-        stats = e.sw.stats()
-        if "SliceProcessor" in stats:
-            lag = stats["SliceProcessor"].get("mean_ms", 0.0) / 1e3
+        # true backpressure metric: max per-stage lag gauge (now -
+        # source wall clock, ThreadObject.h:69 / PangoVis.cpp:597-599)
+        lag = e.sw.max_gauge("lag.") / 1e3
         status = "paused" if getattr(e, "paused", None) and e.paused.is_set() \
             else ("finished" if e._end_of_log.is_set() else "tracking")
         return {

@@ -173,6 +173,11 @@ def test_engine_loop_closure_e2e(tmp_path):
     assert len(engine.place_rec.keyframes) >= 5
     assert len(engine.place_rec.constraints) >= 1, "no loop detected"
     assert engine.deformation.n_loops_accepted >= 1, "loop not accepted"
+    # backend lag accounting published per stage (ThreadObject.h:69 /
+    # MainController.cpp:363-373 max-lag role)
+    stats = engine.sw.stats()
+    assert "lag.PlaceRecognition" in stats, sorted(stats)
+    assert engine.backend_lag_ms >= 0.0
     outs = engine.save()
     est_s, est_p = load_trajectory(outs["poses"])
     assert len(est_s) >= 2  # optimised trajectory written

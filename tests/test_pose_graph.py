@@ -79,3 +79,45 @@ def test_bad_loop_raises_chi2_and_removal_restores():
     assert chi_rm < 1e-6
     for k in range(n):
         np.testing.assert_allclose(g.get_pose(k), gt[k], atol=1e-3)
+
+
+def test_isam_thresh_gate_calibrated_at_scale():
+    """The default gate (isam_thresh=10 on TOTAL chi2 — the reference's
+    `residual = _slam->chi2()` semantics, iSAMInterface.cpp:136-140,
+    Deformation.cpp:256) must, on a realistic 200-node corridor graph:
+    accept a drift-consistent loop, accept a small-error loop (~5 cm —
+    the PR verification ICP's job to catch, not this gate's), and
+    reject a grossly wrong (aliased-place) loop."""
+    from kintinuous_tpu.config import KintinuousConfig
+
+    thresh = KintinuousConfig().isam_thresh
+
+    def build():
+        rng = np.random.default_rng(7)
+        g = PoseGraph()
+        gt = [np.eye(4)]
+        step = np.eye(4)
+        step[0, 3] = 0.05  # 10 m corridor at 5 cm/frame
+        g.add_node(0, np.eye(4))
+        for i in range(1, 200):
+            noise = exp(rand_twist(rng, 0.0005, 0.002))
+            g.add_odometry(i - 1, i, step @ noise)
+            gt.append(gt[-1] @ step)
+        return g, gt
+
+    def chi2_with_loop(err_t, err_r_deg):
+        g, gt = build()
+        Z = np.linalg.inv(gt[199]) @ gt[0]
+        pert = exp(
+            np.r_[np.deg2rad(err_r_deg) * np.array([0, 1.0, 0]),
+                  err_t * np.array([1.0, 0, 0])]
+        )
+        g.add_loop(199, 0, Z @ pert)
+        return g.optimise(iters=10)
+
+    good = chi2_with_loop(0.0, 0.0)
+    small = chi2_with_loop(0.05, 5.0)
+    gross = chi2_with_loop(1.0, 30.0)
+    assert good < thresh, f"drift-consistent loop rejected: chi2={good:.2f}"
+    assert small < thresh, f"5cm loop rejected (not this gate's job): {small:.2f}"
+    assert gross > thresh, f"1m/30deg loop accepted: chi2={gross:.2f}"
