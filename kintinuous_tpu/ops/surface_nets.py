@@ -33,6 +33,12 @@ class MeshResult(NamedTuple):
     faces: jnp.ndarray  # (fcap,3) i32 indices into vertices
     n_vertices: jnp.ndarray  # () i32
     n_faces: jnp.ndarray  # () i32
+    # (vcap,3) i32 GLOBAL integer cell coords — each surface-nets vertex
+    # belongs to exactly one grid cell, so patches from different shift
+    # events weld seamlessly by cell identity (backend/meshing.weld);
+    # this replaces UGP3's FRINGE/BOUNDARY advancing-front machinery
+    # (UGP3.cpp:1642-1665) for patch-seam continuity
+    cells: jnp.ndarray = None
 
 
 def extract_mesh(
@@ -154,6 +160,27 @@ def extract_mesh(
     n_vertices = jnp.minimum(vmask.sum(), vertex_capacity).astype(jnp.int32)
     vid_grid = jnp.where(has_vert, vid.reshape(sz, sy, sx), -1)
 
+    # global integer cell identity: origin is always a whole number of
+    # voxels (shifts move it by voxel_shift*voxel_size), so
+    # origin/voxel + lo + index is invariant across shift events
+    oi = jnp.round(vol.origin / voxel_size).astype(jnp.int32)
+    gcx = oi[0] + lo[0] + jnp.arange(sx, dtype=jnp.int32)
+    gcy = oi[1] + lo[1] + jnp.arange(sy, dtype=jnp.int32)
+    gcz = oi[2] + lo[2] + jnp.arange(sz, dtype=jnp.int32)
+    gcells = jnp.stack(
+        [
+            jnp.broadcast_to(gcx[None, None, :], (sz, sy, sx)),
+            jnp.broadcast_to(gcy[None, :, None], (sz, sy, sx)),
+            jnp.broadcast_to(gcz[:, None, None], (sz, sy, sx)),
+        ],
+        axis=-1,
+    )
+    cells = (
+        jnp.zeros((vertex_capacity, 3), jnp.int32)
+        .at[vdest]
+        .set(gcells.reshape(n_cells, 3), mode="drop")
+    )
+
     # --- faces: one quad per sign-changed INTERIOR edge ------------------
     def quads(axis):
         """Returns (mask, positive, 4 cell-vid arrays) for interior edges."""
@@ -205,5 +232,5 @@ def extract_mesh(
 
     return MeshResult(
         vertices=vertices, colors=colors, faces=faces,
-        n_vertices=n_vertices, n_faces=n_faces,
+        n_vertices=n_vertices, n_faces=n_faces, cells=cells,
     )

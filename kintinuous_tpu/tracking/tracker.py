@@ -84,6 +84,7 @@ def _empty_mesh(vcap: int, fcap: int) -> MeshResult:
         faces=jnp.zeros((fcap, 3), jnp.int32),
         n_vertices=jnp.int32(0),
         n_faces=jnp.int32(0),
+        cells=jnp.zeros((vcap, 3), jnp.int32),
     )
 
 
@@ -864,6 +865,7 @@ class Tracker:
             colors=np.clip(np.asarray(res.colors[:nv]), 0, 255).astype(np.uint8),
             faces=np.asarray(res.faces[:nf]),
             timestamp_us=timestamp_us,
+            cells=np.asarray(res.cells[:nv]),
         )
         self.mesh_patches.append(patch)
         if self.mesh_callback:
