@@ -54,6 +54,7 @@ _PAGE = """<!doctype html>
  <img id="p_model_depth" width="160" style="border:1px solid #2a2f3a">
 </div>
 <div id="bar">
+ <button onclick="showMesh=!showMesh">mesh</button>
  <button onclick="ctl('pause')">pause</button>
  <button onclick="ctl('complete')">complete</button>
  <button onclick="ctl('save')">save</button>
@@ -62,7 +63,8 @@ _PAGE = """<!doctype html>
 <script>
 const cv=document.getElementById('c'),cx=cv.getContext('2d');
 let W,H;function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight}rs();onresize=rs;
-let pts=null,cols=null,traj=[],nCloud=0;
+let pts=null,cols=null,traj=[],nCloud=0,frusta=[];
+let mV=null,mC=null,mF=null,mNF=0,showMesh=true,lastT=-1;
 let yaw=-0.6,pitch=-0.4,dist=6,tgt=[0,0,0],drag=0,lx=0,ly=0;
 cv.onmousedown=e=>{drag=e.button===0?1:2;lx=e.clientX;ly=e.clientY};
 onmouseup=()=>drag=0;
@@ -92,11 +94,41 @@ function draw(){
    const px=p[0]|0,py=p[1]|0;if(px<0||py<0||px>=W||py>=H)continue;
    const o=4*(py*W+px);d[o]=cols[3*i];d[o+1]=cols[3*i+1];d[o+2]=cols[3*i+2];d[o+3]=255;}
   cx.putImageData(id,0,0);}
+ if(showMesh&&mV&&mF){ // painter-sorted flat triangles (PangoVis mesh draw role)
+  const tris=[];
+  for(let i=0;i<mNF;i++){
+   const a=mF[3*i],b=mF[3*i+1],c=mF[3*i+2];
+   const pa=prj(mV[3*a],mV[3*a+1],mV[3*a+2]);if(!pa)continue;
+   const pb=prj(mV[3*b],mV[3*b+1],mV[3*b+2]);if(!pb)continue;
+   const pc=prj(mV[3*c],mV[3*c+1],mV[3*c+2]);if(!pc)continue;
+   const zc=(mV[3*a]-ex)*fz[0]+(mV[3*a+1]-ey)*fz[1]+(mV[3*a+2]-ez)*fz[2];
+   tris.push([zc,pa,pb,pc,a]);}
+  tris.sort((u,v)=>v[0]-u[0]);
+  for(const t of tris){const a=t[4];
+   cx.fillStyle=`rgb(${mC[3*a]},${mC[3*a+1]},${mC[3*a+2]})`;
+   cx.beginPath();cx.moveTo(t[1][0],t[1][1]);cx.lineTo(t[2][0],t[2][1]);
+   cx.lineTo(t[3][0],t[3][1]);cx.closePath();cx.fill();}}
  if(traj.length>1){cx.strokeStyle='#7dd3a0';cx.lineWidth=1.5;cx.beginPath();let m=0;
   for(const q of traj){const p=prj(q[0],q[1],q[2]);if(!p){m=0;continue}
    m?cx.lineTo(p[0],p[1]):cx.moveTo(p[0],p[1]);m=1}cx.stroke();
   const last=traj[traj.length-1],p=prj(last[0],last[1],last[2]);
   if(p){cx.fillStyle='#f38ba8';cx.beginPath();cx.arc(p[0],p[1],4,0,7);cx.fill()}}
+ // camera frusta along the trajectory (PangoVis.cpp:421-436 role)
+ for(let k=0;k<frusta.length;k++){
+  const M=frusta[k],sc=k===frusta.length-1?0.22:0.1;
+  cx.strokeStyle=k===frusta.length-1?'#f38ba8':'#89b4fa';cx.lineWidth=1;
+  const o=[M[3],M[7],M[11]];
+  const corn=[[-1,-0.75,1.5],[1,-0.75,1.5],[1,0.75,1.5],[-1,0.75,1.5]].map(q=>[
+   o[0]+sc*(M[0]*q[0]+M[1]*q[1]+M[2]*q[2]),
+   o[1]+sc*(M[4]*q[0]+M[5]*q[1]+M[6]*q[2]),
+   o[2]+sc*(M[8]*q[0]+M[9]*q[1]+M[10]*q[2])]);
+  const po=prj(o[0],o[1],o[2]);if(!po)continue;
+  const pc2=corn.map(q=>prj(q[0],q[1],q[2]));if(pc2.some(p=>!p))continue;
+  cx.beginPath();
+  for(const p of pc2){cx.moveTo(po[0],po[1]);cx.lineTo(p[0],p[1]);}
+  cx.moveTo(pc2[0][0],pc2[0][1]);
+  for(let i2=1;i2<=4;i2++){const p=pc2[i2%4];cx.lineTo(p[0],p[1]);}
+  cx.stroke();}
  requestAnimationFrame(draw);
 }
 requestAnimationFrame(draw);
@@ -107,11 +139,22 @@ async function poll(){
   const s=await (await fetch('/state.json')).json();
   document.getElementById('hud').textContent=
    `frame   ${s.frame}\\nfps     ${s.fps.toFixed(1)}\\npoints  ${s.n_points}`+
+   `\\ntris    ${s.n_triangles}`+
    `\\nslices  ${s.n_slices}\\nloops   ${s.n_loops}\\nlag     ${s.backend_lag_s.toFixed(2)} s`+
    `\\nstatus  ${s.status}`;
-  traj=s.traj;
+  traj=s.traj;frusta=s.frusta||[];
   for(const nm of ['rgb','depth','model','model_depth'])
    document.getElementById('p_'+nm).src='/pane/'+nm+'.png?t='+Date.now();
+  if(s.n_triangles!==lastT){lastT=s.n_triangles;
+   if(s.n_triangles>0){
+    const b=await (await fetch('/mesh.bin')).arrayBuffer();
+    const nv=new Uint32Array(b,0,1)[0];
+    mV=new Float32Array(b.slice(4,4+12*nv));
+    mC=new Uint8Array(b,4+12*nv,3*nv);
+    const o2=4+12*nv+3*nv+((4-(4+12*nv+3*nv)%4)%4);
+    mNF=new Uint32Array(b.slice(o2,o2+4))[0];
+    mF=new Uint32Array(b.slice(o2+4,o2+4+12*mNF));
+   }else{mV=mC=mF=null;mNF=0;}}
   if(s.n_points!==lastN){lastN=s.n_points;
    const b=await (await fetch('/cloud.bin')).arrayBuffer();
    const n=new Uint32Array(b,0,1)[0];
@@ -154,6 +197,10 @@ class ViewerServer:
                 elif self.path.startswith("/cloud.bin"):
                     self._send(
                         200, "application/octet-stream", viewer.cloud_bin()
+                    )
+                elif self.path.startswith("/mesh.bin"):
+                    self._send(
+                        200, "application/octet-stream", viewer.mesh_bin()
                     )
                 elif self.path.startswith("/pane/"):
                     name = self.path.split("/pane/")[1].split(".")[0]
@@ -206,16 +253,73 @@ class ViewerServer:
         lag = e.sw.max_gauge("lag.") / 1e3
         status = "paused" if getattr(e, "paused", None) and e.paused.is_set() \
             else ("finished" if e._end_of_log.is_set() else "tracking")
+        # camera frusta: latest pose + up to 24 keyframe-spaced poses
+        # (PangoVis.cpp:421-436 frusta + trajectory lines role)
+        fr = []
+        if poses:
+            fstep = max(1, len(poses) // 24)
+            sel = list(range(0, len(poses), fstep))
+            if sel[-1] != len(poses) - 1:
+                sel.append(len(poses) - 1)
+            for k in sel:
+                fr.append([float(v) for v in np.asarray(poses[k])[:3, :4].reshape(-1)])
         return {
             "frame": len(poses),
             "fps": e.fps,
             "n_points": int(n_points),
             "n_slices": len(slices),
             "n_loops": int(n_loops),
+            "n_triangles": int(self._mesh_tris()),
             "backend_lag_s": lag,
             "status": status,
             "traj": traj,
+            "frusta": fr,
         }
+
+    def _mesh_patches(self):
+        e = self.engine
+        if e.deformation is not None and e.deformation.mesh_patches:
+            return e.deformation.mesh_patches
+        return getattr(e.tracker, "mesh_patches", []) or []
+
+    def _mesh_tris(self) -> int:
+        return sum(len(p.faces) for p in self._mesh_patches())
+
+    def mesh_bin(self) -> bytes:
+        """[u32 nv][f32 xyz*nv][u8 rgb*nv][pad4][u32 nf][u32 abc*nf] of
+        the cell-welded incremental mesh (PangoVis mesh panes role,
+        PangoVis.cpp:343-390), decimated to MAX_VIEW_FACES."""
+        from kintinuous_tpu.backend.meshing import weld_patches
+
+        patches = [p for p in self._mesh_patches() if len(p.vertices)]
+        if not patches:
+            return struct.pack("<I", 0)
+        if all(p.cells is not None for p in patches):
+            verts, cols, faces = weld_patches(patches)
+        else:
+            vs, cs, fs, off = [], [], [], 0
+            for p in patches:
+                vs.append(p.vertices)
+                cs.append(p.colors)
+                fs.append(p.faces + off)
+                off += len(p.vertices)
+            verts = np.concatenate(vs)
+            cols = np.concatenate(cs)
+            faces = np.concatenate(fs)
+        MAX_VIEW_FACES = 60_000
+        if len(faces) > MAX_VIEW_FACES:
+            idx = np.random.default_rng(0).choice(
+                len(faces), MAX_VIEW_FACES, replace=False
+            )
+            faces = faces[idx]
+        body = (
+            struct.pack("<I", len(verts))
+            + verts.astype(np.float32).tobytes()
+            + cols[:, :3].astype(np.uint8).tobytes()
+        )
+        body += b"\x00" * ((4 - len(body) % 4) % 4)
+        body += struct.pack("<I", len(faces)) + faces.astype(np.uint32).tobytes()
+        return body
 
     def cloud_bin(self) -> bytes:
         """[u32 n][f32 xyz * n][u8 rgb * n] of the decimated global map

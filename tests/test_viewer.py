@@ -50,6 +50,10 @@ def test_viewer_endpoints(tmp_path):
         assert st["frame"] == 6
         assert len(st["traj"]) == 6
         assert st["status"] in ("tracking", "finished")
+        # frusta for the 3D view (PangoVis.cpp:421-436 role)
+        assert len(st["frusta"]) >= 1
+        assert len(st["frusta"][-1]) == 12
+        assert "n_triangles" in st and "backend_lag_s" in st
 
         blob = _get(viewer.port, "/cloud.bin")
         (n,) = struct.unpack("<I", blob[:4])
@@ -83,5 +87,43 @@ def test_viewer_panes(tmp_path):
         for name in ("rgb", "depth", "model", "model_depth"):
             png = _get(viewer.port, f"/pane/{name}.png")
             assert png[:8] == b"\x89PNG\r\n\x1a\n", name
+    finally:
+        viewer.close()
+
+
+def test_viewer_mesh_endpoint(tmp_path):
+    """mesh.bin serves the cell-welded incremental mesh for the 3D view
+    (PangoVis.cpp:343-390 mesh draw role)."""
+    from kintinuous_tpu.backend.meshing import MeshPatch
+
+    cfg = tiny_test_config(save_file=str(tmp_path / "m"))
+    eng = SlamEngine(cfg)
+    viewer = ViewerServer(eng, port=0)
+    try:
+        # empty mesh
+        blob = _get(viewer.port, "/mesh.bin")
+        assert struct.unpack("<I", blob[:4])[0] == 0
+        # two overlapping patches with shared cells weld to one mesh
+        cells1 = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.int32)
+        cells2 = np.array([[1, 0, 0], [0, 1, 0], [1, 1, 0]], np.int32)
+        mk = lambda cells: MeshPatch(
+            vertices=cells.astype(np.float32) * 0.01,
+            colors=np.full((3, 3), 128, np.uint8),
+            faces=np.array([[0, 1, 2]], np.int32),
+            cells=cells,
+        )
+        eng.tracker.mesh_patches = [mk(cells1), mk(cells2)]
+        st = json.loads(_get(viewer.port, "/state.json"))
+        assert st["n_triangles"] == 2
+        blob = _get(viewer.port, "/mesh.bin")
+        (nv,) = struct.unpack("<I", blob[:4])
+        assert nv == 4  # 6 verts weld to 4 unique cells
+        off = 4 + 12 * nv + 3 * nv
+        off += (4 - off % 4) % 4
+        (nf,) = struct.unpack("<I", blob[off : off + 4])
+        faces = np.frombuffer(
+            blob[off + 4 : off + 4 + 12 * nf], np.uint32
+        ).reshape(nf, 3)
+        assert nf == 2 and faces.max() < nv
     finally:
         viewer.close()
