@@ -265,6 +265,12 @@ def _stage_table(cfg):
 
 def main():
     sys.path.insert(0, "/root/repo")
+    import jax
+
+    # persist compiled executables across bench runs/rounds (first TPU
+    # compile of the tracking step is 20-40 s)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kintinuous_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from kintinuous_tpu.config import KintinuousConfig
 
     cfg = KintinuousConfig(

@@ -140,3 +140,27 @@ class GroundTruthOdometry:
 
     def has_pose(self, timestamp_us: int) -> bool:
         return self._lookup(timestamp_us) is not None
+
+
+def icp_covariance(
+    cam: CameraIntrinsics,
+    T: jnp.ndarray,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    vmap_prev: jnp.ndarray,
+    nmap_prev: jnp.ndarray,
+    dist_thresh: float = 0.10,
+    angle_thresh_deg: float = 20.0,
+):
+    """6x6 odometry covariance = A^-1 of the final-level GN system at
+    the converged pose (ICPOdometry.cpp:188-191 / OdometryProvider.h:42-68
+    role; twist order [w, v]). Damped so degenerate scenes return a
+    large-but-finite covariance instead of inf."""
+    from kintinuous_tpu.ops.reduce import icp_step
+
+    sys_ = icp_step(
+        cam, T, vmap_curr, nmap_curr, vmap_prev, nmap_prev,
+        dist_thresh, math.sin(math.radians(angle_thresh_deg)),
+    )
+    A = sys_.A + 1e-6 * jnp.eye(6, dtype=sys_.A.dtype)
+    return jnp.linalg.inv(A)

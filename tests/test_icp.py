@@ -84,3 +84,38 @@ def test_ground_truth_odometry():
     # missing stamp -> identity, keeps last known pose
     assert not gt.has_pose(int(0.5e6))
     np.testing.assert_allclose(gt.delta(int(0.5e6)), np.eye(4))
+
+
+def test_icp_covariance_shape_and_informativeness():
+    """A^-1 odometry covariance (ICPOdometry.cpp:188-191 role): SPD, and
+    a geometry-rich frame pair is far better conditioned than a
+    fronto-parallel wall (which leaves x/y slide + roll loose)."""
+    import jax.numpy as jnp
+    from kintinuous_tpu.config import CameraIntrinsics
+    from kintinuous_tpu.io.synth import Scene, render_frame
+    from kintinuous_tpu.ops import preprocess as pp
+    from kintinuous_tpu.ops.maps import create_nmap, create_vmap
+    from kintinuous_tpu.tracking.odometry import icp_covariance
+
+    cam = CameraIntrinsics(fx=70.0, fy=70.0, cx=40.0, cy=30.0, width=80, height=60)
+
+    def maps_of(scene):
+        d, _ = render_frame(scene, cam, np.eye(4))
+        dm = pp.depth_to_metres(jnp.asarray(d, jnp.float32), 6.0)
+        v = create_vmap(cam, dm)
+        return v, create_nmap(v)
+
+    v1, n1 = maps_of(Scene.default())
+    cov_rich = np.asarray(
+        icp_covariance(cam, jnp.eye(4), v1, n1, v1, n1)
+    )
+    assert cov_rich.shape == (6, 6)
+    assert np.allclose(cov_rich, cov_rich.T, atol=1e-8)
+    assert np.all(np.linalg.eigvalsh(cov_rich) > 0)
+
+    # bare room (fronto-parallel wall dominates): much larger
+    # uncertainty in the loose directions
+    wall = Scene()  # no spheres/cuboids
+    v2, n2 = maps_of(wall)
+    cov_wall = np.asarray(icp_covariance(cam, jnp.eye(4), v2, n2, v2, n2))
+    assert np.trace(cov_wall) > 10.0 * np.trace(cov_rich)
