@@ -16,8 +16,7 @@ extraction stays on host CPU exactly like the reference's backend
 
 from __future__ import annotations
 
-import pickle
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -105,6 +104,32 @@ class Vocabulary:
         if len(descriptors) == 0:
             return np.zeros(0, np.int32)
         return hamming_dist(descriptors, self.centroids).argmin(axis=1).astype(np.int32)
+
+
+def train_vocab_from_klg(klg_path: str, out_path: str, k: int = 512,
+                         frame_stride: int = 10, n_features: int = 500,
+                         max_frames: int = -1, width: int = 640,
+                         height: int = 480, seed: int = 0) -> Vocabulary:
+    """Train and save a BoW vocabulary from a `.klg` sequence — the
+    reference's vocabulary-creation mode (DBowInterfaceSurf.cpp:103-113)
+    as one call. Samples every `frame_stride`-th frame's ORB
+    descriptors, k-means-trains, saves `.npy` to `out_path`."""
+    from kintinuous_tpu.io.klg import KlgLogReader
+
+    descs = []
+    with KlgLogReader(klg_path, width=width, height=height,
+                      max_frames=max_frames) as r:
+        for f in r:
+            if f.index % frame_stride or f.rgb is None:
+                continue
+            gray = cv2.cvtColor(f.rgb, cv2.COLOR_RGB2GRAY)
+            _, d = detect_orb(gray, n_features)
+            if len(d):
+                descs.append(d)
+    all_desc = np.concatenate(descs, axis=0) if descs else np.zeros((0, 32), np.uint8)
+    vocab = Vocabulary.train(all_desc, k=k, seed=seed)
+    vocab.save(out_path)
+    return vocab
 
 
 class BowDatabase:

@@ -138,3 +138,38 @@ def test_surface_nets_empty():
         vertex_capacity=100, face_capacity=100,
     )
     assert int(res.n_vertices) == 0 and int(res.n_faces) == 0
+
+
+def test_train_vocab_from_klg(tmp_path):
+    from kintinuous_tpu.backend.features import Vocabulary, train_vocab_from_klg
+    from kintinuous_tpu.config import CameraIntrinsics
+    from kintinuous_tpu.io.synth import Scene, generate_klg, orbit_trajectory
+
+    cam = CameraIntrinsics(fx=70, fy=70, cx=40, cy=30, width=80, height=60)
+    klg = str(tmp_path / "v.klg")
+    generate_klg(klg, cam, orbit_trajectory(6))
+    out = str(tmp_path / "vocab.npy")
+    v = train_vocab_from_klg(klg, out, k=32, frame_stride=1,
+                             width=80, height=60)
+    assert v.centroids.shape[1] == 32
+    v2 = Vocabulary.load(out)
+    assert (v2.centroids == v.centroids).all()
+
+
+def test_ate_files(tmp_path):
+    import numpy as np
+
+    from kintinuous_tpu.eval.ate import ate_files
+    from kintinuous_tpu.io.synth import orbit_trajectory
+    from kintinuous_tpu.io.tum import save_trajectory
+
+    poses = orbit_trajectory(10)
+    stamps = [i / 30.0 for i in range(10)]
+    gt = str(tmp_path / "gt.txt")
+    est = str(tmp_path / "est.txt")
+    save_trajectory(gt, stamps, poses)
+    off = np.eye(4)
+    off[:3, 3] = [0.5, -0.2, 0.1]
+    save_trajectory(est, stamps, [off @ T for T in poses])
+    rmse, n = ate_files(est, gt)
+    assert n == 10 and rmse < 1e-6  # rigid offset aligns away

@@ -137,3 +137,51 @@ def test_native_klg_reader(tmp_path):
     with klg_native.NativeKlgReader(path, width=80, height=60) as r:
         d, c, t = r.read_batch(4, 10)
         assert len(d) == 1
+
+
+def test_tum_to_klg_convert(tmp_path):
+    """tools/tum_to_klg: TUM dataset dir -> .klg with mm depth + paired rgb."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cv2
+    import tum_to_klg
+
+    ds = tmp_path / "ds"
+    (ds / "depth").mkdir(parents=True)
+    (ds / "rgb").mkdir()
+    rng = np.random.default_rng(7)
+    n = 4
+    depth_lines, rgb_lines = [], []
+    depths_mm = []
+    for i in range(n):
+        # depth stored in TUM 1/5000 m units; keep multiples of 5 so the
+        # units->mm conversion is exact
+        d_mm = (rng.integers(100, 1000, (12, 16)) * 5).astype(np.uint16)
+        depths_mm.append(d_mm)
+        d_tum = (d_mm.astype(np.uint32) * 5).astype(np.uint16)
+        cv2.imwrite(str(ds / "depth" / f"{i}.png"), d_tum)
+        c = rng.integers(0, 255, (12, 16, 3)).astype(np.uint8)
+        cv2.imwrite(str(ds / "rgb" / f"{i}.png"), c)
+        # rgb stamps offset by 5 ms (within the 20 ms pairing gate)
+        depth_lines.append(f"{i * 0.1:.4f} depth/{i}.png")
+        rgb_lines.append(f"{i * 0.1 + 0.005:.4f} rgb/{i}.png")
+    # an unpairable extra rgb frame far from any depth stamp
+    rgb_lines.append(f"{n * 0.1 + 0.05:.4f} rgb/0.png")
+    (ds / "depth.txt").write_text("# header\n" + "\n".join(depth_lines) + "\n")
+    (ds / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (ds / "groundtruth.txt").write_text(
+        "# gt\n" + "\n".join(f"{i*0.1:.4f} {i*0.01} 0 0 0 0 0 1" for i in range(n)) + "\n"
+    )
+
+    out = str(tmp_path / "seq.klg")
+    wrote = tum_to_klg.convert(str(ds), out)
+    assert wrote == n
+    with KlgLogReader(out, width=16, height=12) as r:
+        frames = list(r)
+    assert len(frames) == n
+    for i, f in enumerate(frames):
+        assert f.timestamp == int(round(i * 0.1 * 1e6))
+        np.testing.assert_array_equal(f.depth, depths_mm[i])
+    stamps, poses = load_trajectory(str(tmp_path / "seq.gt"))
+    assert len(stamps) == n and abs(poses[2][0, 3] - 0.02) < 1e-9
