@@ -70,7 +70,7 @@ def _integrate_kernel(
     ids_ref,  # (cap,) i32 band block ids
     y0_ref,  # (cap,) i32 patch top row (mult 16)
     x0_ref,  # (cap,) i32 patch left col (mult 128)
-    params_ref,  # (16,) f32: Rcl rows (9), tcl (3), pad
+    params_ref,  # (16,) f32: Rcl rows (9), tcl (3), wrap (3), z_block_off
     # inputs
     img_ref,  # (6, Hp, Wp) bf16 [ray_hi|ray_lo|r|g|b|q_w] in HBM
     t_in,  # (1, 4, 128) f32 tsdf row block
@@ -83,6 +83,7 @@ def _integrate_kernel(
     sem,  # (2,) DMA
     *,
     B: int,
+    R: int,
     W: int,
     H: int,
     PH: int,
@@ -125,7 +126,6 @@ def _integrate_kernel(
         start(i + 1, nxt)
 
     bid = ids_ref[i]
-    bz = bid // (B * B)
     by = (bid // B) % B
     bx = bid % B
     y0 = y0_ref[i]
@@ -135,6 +135,11 @@ def _integrate_kernel(
     r10, r11, r12 = params_ref[3], params_ref[4], params_ref[5]
     r20, r21, r22 = params_ref[6], params_ref[7], params_ref[8]
     t0p, t1p, t2p = params_ref[9], params_ref[10], params_ref[11]
+    # wrap offsets (multiples of 8, exact in f32) + slab block-z origin
+    wrap_x = params_ref[12].astype(jnp.int32)
+    wrap_y = params_ref[13].astype(jnp.int32)
+    wrap_z = params_ref[14].astype(jnp.int32)
+    bz = bid // (B * B) + params_ref[15].astype(jnp.int32)
 
     t_row = t_in[0]  # (4,128) f32
     c_row = c_in[0]  # (4,128) u32
@@ -147,9 +152,16 @@ def _integrate_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0) * 128
         + jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
     )
-    px = (bx * BLOCK + (off & 7)).astype(jnp.float32) + 0.5
-    py = (by * BLOCK + ((off >> 3) & 7)).astype(jnp.float32) + 0.5
-    pz = (bz * BLOCK + (off >> 6)).astype(jnp.float32) + 0.5
+    # physical -> logical voxel coords (mod-wrap, integrate_fast:346-348
+    # semantics; wrap=0 in the single-chip fast path, nonzero under the
+    # multi-chip slab sharding which keeps the reference's cyclical
+    # addressing, tsdf_volume.cu:612-615)
+    pxi = bx * BLOCK + (off & 7)
+    pyi = by * BLOCK + ((off >> 3) & 7)
+    pzi = bz * BLOCK + (off >> 6)
+    px = jax.lax.rem(pxi - wrap_x + R, R).astype(jnp.float32) + 0.5
+    py = jax.lax.rem(pyi - wrap_y + R, R).astype(jnp.float32) + 0.5
+    pz = jax.lax.rem(pzi - wrap_z + R, R).astype(jnp.float32) + 0.5
     wx = px * voxel_size
     wy = py * voxel_size
     wz = pz * voxel_size
@@ -310,15 +322,21 @@ def _plan_blocks(
     PW: int,
     PH2: int,
     PW2: int,
+    Bz: int | None = None,
+    z_block_offset=0,
 ) -> PallasBandLists:
     """Classify blocks, compute per-block patch corners + fits, compact
-    pallas/fallback/free lists in one scatter."""
+    pallas/fallback/free lists in one scatter. When vol is a physical
+    block-z slab of a larger volume (multi-chip fast path), Bz is the
+    slab's block count and z_block_offset its first block-z index."""
     B = R // BLOCK
+    if Bz is None:
+        Bz = B
     H, W = cam.height, cam.width
     Wp = -(-W // 128) * 128
     cls = classify_blocks(
         vol, cam, tables, T_cam_to_local, voxel_size, trunc_dist,
-        resolution=R,
+        resolution=R, z_blocks=Bz, z_block_offset=z_block_offset,
     )
 
     # block-centre projection + conservative pixel radius (same math as
@@ -327,9 +345,10 @@ def _plan_blocks(
     Tinv = jnp.linalg.inv(T_cam_to_local)
     Rcl, tcl = Tinv[:3, :3], Tinv[:3, 3]
     pb = jnp.arange(B, dtype=jnp.int32)
+    pbz = jnp.arange(Bz, dtype=jnp.int32) + z_block_offset
     gx = jnp.mod(pb * BLOCK - vol.wrap[0], R).astype(jnp.float32) + BLOCK / 2.0
     gy = jnp.mod(pb * BLOCK - vol.wrap[1], R).astype(jnp.float32) + BLOCK / 2.0
-    gz = jnp.mod(pb * BLOCK - vol.wrap[2], R).astype(jnp.float32) + BLOCK / 2.0
+    gz = jnp.mod(pbz * BLOCK - vol.wrap[2], R).astype(jnp.float32) + BLOCK / 2.0
     wx, wy, wz = gx * voxel_size, gy * voxel_size, gz * voxel_size
 
     def bc(vx, vy, vz, t):
@@ -401,7 +420,7 @@ def _plan_blocks(
     use0 = t0_mask.reshape(cls.shape)
     y0f = jnp.where(use0, y0z, jnp.where(use2, y0b, y0a)).reshape(-1)
     x0f = jnp.where(use0, x0z, jnp.where(use2, x0b, x0a)).reshape(-1)
-    all_ids = jnp.arange(B * B * B, dtype=jnp.int32)
+    all_ids = jnp.arange(Bz * B * B, dtype=jnp.int32)
 
     i0 = jnp.cumsum(t0_mask.astype(jnp.int32)) - 1
     i1 = jnp.cumsum(t1_mask.astype(jnp.int32)) - 1
@@ -474,7 +493,7 @@ def _build_images(cam, depth_m, rgb, color_w, Hp, Wp):
 
 def _xla_band_update(
     vol, cam, tables, T_cam_to_local, voxel_size, trunc_dist, max_weight,
-    ids, n, cap, R,
+    ids, n, cap, R, z_block_offset=0,
 ):
     """Exact per-voxel gather path for fallback blocks (same math as
     tsdf_fast.integrate_fast's band section)."""
@@ -486,7 +505,7 @@ def _xla_band_update(
 
     t8 = tsdf[ids].reshape(cap, 512)
     c8 = cw[ids].reshape(cap, 512)
-    bz = ids // (B * B)
+    bz = ids // (B * B) + z_block_offset
     by = (ids // B) % B
     bx = ids % B
     off = jnp.arange(512, dtype=jnp.int32)[None, :]
@@ -552,7 +571,7 @@ def _xla_band_update(
 
 
 def integrate_pallas(
-    vol,  # BlockedVolume; wrap must be 0 (the fast tracker keeps it so)
+    vol,  # BlockedVolume (full volume, or a physical block-z slab)
     cam: CameraIntrinsics,
     depth_m: jnp.ndarray,
     rgb: jnp.ndarray,
@@ -567,9 +586,21 @@ def integrate_pallas(
     fb_cap: int = 128,
     free_cap: int = 12288,
     interpret: bool = False,
+    resolution: int | None = None,
+    z_block_offset=0,
 ):
-    B = round(vol.tsdf.shape[0] ** (1 / 3))
-    R = B * BLOCK
+    """Wrap offsets must be multiples of 8 (fast-path invariant; the
+    single-chip tracker keeps wrap 0 by physically rolling the volume).
+    resolution/z_block_offset: as integrate_fast — pass the FULL volume
+    resolution and this slab's first block-z index when vol holds only a
+    block-z slab (multi-chip fast path, parallel/fast_sharded.py)."""
+    if resolution is None:
+        B = round(vol.tsdf.shape[0] ** (1 / 3))
+        R = B * BLOCK
+    else:
+        R = resolution
+        B = R // BLOCK
+    Bz = vol.tsdf.shape[0] // (B * B)
     H, W = depth_m.shape
     Hp, Wp, PH, PW = _patch_dims(H, W)
     PH0 = min(48, Hp)
@@ -580,12 +611,18 @@ def integrate_pallas(
         vol, cam, tables, T_cam_to_local, voxel_size, trunc_dist, R,
         band_cap, t1_cap, t2_cap, fb_cap, free_cap,
         Hp, PH0, PH, PW, PH2, PW2,
+        Bz=Bz, z_block_offset=z_block_offset,
     )
     img = _build_images(cam, depth_m, rgb, color_w, Hp, Wp)
 
     Tinv = jnp.linalg.inv(T_cam_to_local)
     params = jnp.concatenate(
-        [Tinv[:3, :3].reshape(-1), Tinv[:3, 3], jnp.zeros((4,), jnp.float32)]
+        [
+            Tinv[:3, :3].reshape(-1),
+            Tinv[:3, 3],
+            jnp.asarray(vol.wrap, jnp.float32).reshape(3),
+            jnp.asarray(z_block_offset, jnp.float32).reshape(1),
+        ]
     )
 
     n_rows = vol.tsdf.shape[0]
@@ -595,7 +632,7 @@ def integrate_pallas(
     def run_tier(t3, c3, n, ids, y0s, x0s, ph, pw):
         kern = functools.partial(
             _integrate_kernel,
-            B=B, W=W, H=H, PH=ph, PW=pw,
+            B=B, R=R, W=W, H=H, PH=ph, PW=pw,
             fx=float(cam.fx), fy=float(cam.fy),
             cx=float(cam.cx), cy=float(cam.cy),
             voxel_size=float(voxel_size),
@@ -647,6 +684,7 @@ def integrate_pallas(
     vol = _xla_band_update(
         vol, cam, tables, T_cam_to_local, voxel_size, trunc_dist,
         max_weight, plan.fb_ids, plan.n_fb, fb_cap, R,
+        z_block_offset=z_block_offset,
     )
 
     # FREE carve: uniform update on compacted rows, in place

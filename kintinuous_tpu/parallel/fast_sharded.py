@@ -12,6 +12,10 @@ it without leaving the blocked layout:
   each chip classify + update only its own block rows (the reference's
   integrate is one kernel over one GPU, tsdf_volume.cu:612-674; here
   the depth tables are replicated and the volume work divides by n);
+  with cfg.pallas (auto-on on TPU) each slab instead runs the
+  production Pallas band-fusion kernel (ops/pallas_integrate) with
+  wrap + z_block_offset addressing — the same kernel that carries the
+  single-chip 30 Hz budget, now per slab;
 - raycast: the warm-started windowed search of ops/raycast_fast run
   per chip against a ppermute'd block-plane halo; a chip claims the
   crossings whose first tap's z-plane it owns and first hits combine
@@ -352,6 +356,12 @@ def make_fast_sharded_step(cfg: KintinuousConfig, mesh: Mesh,
     )
     base_iters = cfg.icp_fast_iterations if cfg.fast_odometry else cfg.icp_iterations
     iters = tuple(base_iters[1:]) if len(base_iters) > 1 else (10, 5)
+    # production Pallas integrate per slab (cfg.pallas None = auto on
+    # TPU, like the single-chip tracker); interpret mode on CPU meshes
+    use_pallas = cfg.pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    pallas_interpret = jax.default_backend() not in ("tpu", "axon")
     vsz = cfg.voxel_size
     S = cfg.voxel_shift
     OV = cfg.shift_overlap
@@ -511,11 +521,26 @@ def make_fast_sharded_step(cfg: KintinuousConfig, mesh: Mesh,
         color_w = map_ops.color_fusion_weight(
             cam, depth_m, disc, angle=cfg.color_angle_weight
         )
-        vol = integrate_fast(
-            vol, cam, depth_m, rgb, color_w, pose, vsz, cfg.trunc_dist,
-            float(cfg.max_weight), band_cap=band_cap, free_cap=free_cap,
-            resolution=R, z_block_offset=idx * Bz,
-        )
+        if use_pallas:
+            from kintinuous_tpu.ops.pallas_integrate import integrate_pallas
+
+            vol = integrate_pallas(
+                vol, cam, depth_m, rgb, color_w, pose, vsz, cfg.trunc_dist,
+                float(cfg.max_weight),
+                band_cap=band_cap,
+                t1_cap=min(4096, Bz * B * B),
+                t2_cap=min(1024, Bz * B * B),
+                fb_cap=min(128, Bz * B * B),
+                free_cap=free_cap,
+                interpret=pallas_interpret,
+                resolution=R, z_block_offset=idx * Bz,
+            )
+        else:
+            vol = integrate_fast(
+                vol, cam, depth_m, rgb, color_w, pose, vsz, cfg.trunc_dist,
+                float(cfg.max_weight), band_cap=band_cap, free_cap=free_cap,
+                resolution=R, z_block_offset=idx * Bz,
+            )
 
         rc = raycast_fast_slab(
             vol, cam_half, pose, depth_half, vsz, cfg.trunc_dist,

@@ -339,6 +339,9 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
     use_pallas = cfg.pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
+    # pallas=True on a CPU backend (tests) runs the kernels in interpret
+    # mode; on TPU they compile to Mosaic as usual
+    pallas_interpret = jax.default_backend() not in ("tpu", "axon")
     if use_pallas:
         from kintinuous_tpu.ops.pallas_integrate import integrate_pallas
         from kintinuous_tpu.ops.pallas_raycast import raycast_pallas
@@ -527,7 +530,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             vol = integrate_pallas(
                 vol, cam, depth_m, rgb, color_w, pose, vsz, cfg.trunc_dist,
                 float(cfg.max_weight), band_cap=cfg.band_cap,
-                fb_cap=cfg.fallback_band_cap,
+                fb_cap=cfg.fallback_band_cap, interpret=pallas_interpret,
             )
         else:
             vol = integrate_fast(
@@ -543,7 +546,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             rc = raycast_pallas(
                 vol, cam_half, pose, None, depth_half, vsz,
                 cfg.volume_size, cfg.trunc_dist,
-                newton=cfg.raycast_newton_iters,
+                newton=cfg.raycast_newton_iters, interpret=pallas_interpret,
             )
         else:
             rc = raycast_fast(

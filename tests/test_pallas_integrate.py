@@ -103,3 +103,51 @@ def test_pallas_close_sphere_uses_fallback():
     vol, depth, rgb, disc, T = setup(sphere_cam=np.array([0.0, 0.0, 0.72]))
     va, vb = run_both(vol, depth, rgb, disc, T, n=1)
     check_match(va, vb)
+
+
+def test_pallas_wrap_matches_fast():
+    """Nonzero (8-multiple) wrap: in-kernel mod addressing must match
+    integrate_fast's logical-coordinate band path (the multi-chip fast
+    path keeps cyclical wrap, tsdf_volume.cu:612-615 semantics)."""
+    vol, depth, rgb, disc, T = setup()
+    vol = vol._replace(wrap=jnp.array([8, 16, 8], jnp.int32))
+    va, vb = run_both(vol, depth, rgb, disc, T, n=1)
+    check_match(va, vb)
+
+
+def test_pallas_slab_split_matches_full():
+    """Integrating two block-z half-slabs with resolution/z_block_offset
+    must be bit-identical to integrating the full volume (slab-local
+    multi-chip integrate, parallel/fast_sharded.py)."""
+    from kintinuous_tpu.ops.tsdf_fast import BLOCK
+
+    vol, depth, rgb, disc, T = setup()
+    vol = vol._replace(wrap=jnp.array([0, 8, 16], jnp.int32))
+    R = CFG.volume_resolution
+    B = R // BLOCK
+    full = jax.jit(
+        lambda v: integrate_pallas(
+            v, CAM, depth, rgb, disc, T, CFG.voxel_size, CFG.trunc_dist,
+            band_cap=2048, fb_cap=512, interpret=True,
+        )
+    )(vol)
+    half = (B // 2) * B * B
+    parts = []
+    for i in range(2):
+        s = vol._replace(
+            tsdf=vol.tsdf[i * half : (i + 1) * half],
+            cw=vol.cw[i * half : (i + 1) * half],
+        )
+        parts.append(
+            jax.jit(
+                lambda v, off=i * (B // 2): integrate_pallas(
+                    v, CAM, depth, rgb, disc, T, CFG.voxel_size,
+                    CFG.trunc_dist, band_cap=2048, fb_cap=512,
+                    interpret=True, resolution=R, z_block_offset=off,
+                )
+            )(s)
+        )
+    ts = np.concatenate([np.asarray(p.tsdf) for p in parts], axis=0)
+    cs = np.concatenate([np.asarray(p.cw) for p in parts], axis=0)
+    np.testing.assert_array_equal(ts, np.asarray(full.tsdf))
+    np.testing.assert_array_equal(cs, np.asarray(full.cw))
