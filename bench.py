@@ -118,8 +118,18 @@ def _bench_traversal(cfg_base, n_frames=120):
     from kintinuous_tpu.runtime.engine import SlamEngine
     from kintinuous_tpu.tracking.tracker import Tracker
 
-    cfg = cfg_base.replace(dynamic_cube=True)
+    def tmark(msg):
+        print(f"[bench traversal] {msg}", file=sys.stderr, flush=True)
+
+    # IMPORTANT: the traversal reuses config A VERBATIM (no dynamic_cube)
+    # so its tracker programs hit the same compile-cache keys — each
+    # extra tracker variant costs a 10-17 min XLA compile through the
+    # dev tunnel, which blew the bench past its time budget. The shift/
+    # extraction machinery exercised is identical; dynamic cube only
+    # moves the shift anchor ahead of the camera.
+    cfg = cfg_base
     depths, rgbs, poses, log, gt = _corridor_cache(cfg, n_frames)
+    tmark("corridor frames ready")
 
     # --- C1: traversal fps, frontend only, device-resident -----------
     tracker = Tracker(cfg)
@@ -141,13 +151,18 @@ def _bench_traversal(cfg_base, n_frames=120):
     fps = timed / (time.perf_counter() - t0)
     shifts = np.array(tracker.shift_log)
     n_shift = int((shifts != 0).any(axis=1).sum())
+    tmark(f"C1 frontend pass done ({fps:.2f} fps)")
 
     # --- C2: full pipeline accuracy (untimed; tunnel-fed klg) --------
+    # offline_batched=False: the untimed engine run reuses the per-frame
+    # step's compile cache instead of paying the batch program's compile
     cfg_e = cfg.replace(
         log_file=log, online_deformation=True, loop_throttle_s=0.0,
         place_rec_motion_thresh=0.15, save_file="/tmp/kintinuous_bench_out",
+        offline_batched=False,
     )
     engine = SlamEngine(cfg_e).run()
+    tmark("C2 engine run done")
     tr = engine.tracker
     gs, gp = load_trajectory(gt)
     ate_pre, _ = absolute_trajectory_error(
@@ -280,12 +295,21 @@ def main():
         extraction_capacity=500_000,
     )
     t_start = time.time()
-    frames = _orbit_frames(cfg)
 
+    def mark(msg):
+        print(f"[bench +{time.time()-t_start:7.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+    frames = _orbit_frames(cfg)
+    mark("orbit frames rendered")
     fps_icp, fb_icp = _bench_orbit(cfg, frames)
+    mark(f"config A done: {fps_icp:.2f} fps")
     fps_rgbd, _ = _bench_orbit(cfg.replace(icp_plus_rgbd=True), frames)
+    mark(f"config B done: {fps_rgbd:.2f} fps")
     trav = _bench_traversal(cfg)
+    mark(f"config C done: {trav['fps']:.2f} fps frontend")
     stages = _stage_table(cfg)
+    mark("stage table done")
 
     notes = f"""# BENCH NOTES (auto-written by bench.py)
 

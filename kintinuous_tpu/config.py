@@ -112,6 +112,11 @@ class KintinuousConfig:
     # Pallas TPU kernels (None = auto: on when running on TPU). The
     # XLA fast path remains as the CPU/test implementation.
     pallas: Optional[bool] = None
+    # offline fast-mode logs: process in pipelined device batches (the
+    # throughput path). False forces the per-frame loop — useful when an
+    # untimed run should reuse the per-frame program's compile cache
+    # instead of paying the batch program's (much longer) XLA compile.
+    offline_batched: bool = True
 
     # --- shifting ---
     static_mode: bool = False

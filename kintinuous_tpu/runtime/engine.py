@@ -206,8 +206,9 @@ class SlamEngine:
             stamps, poses = load_trajectory(cfg.trajectory_file)
             gt = GroundTruthOdometry(stamps, poses)
 
-        if (cfg.fast_mode and cfg.devices == 1 and gt is None
-                and not cfg.frame_rate_limit and not cfg.live_source):
+        if (cfg.fast_mode and cfg.offline_batched and cfg.devices == 1
+                and gt is None and not cfg.frame_rate_limit
+                and not cfg.live_source):
             return self._run_batched(progress)
 
         cam = cfg.camera

@@ -252,3 +252,24 @@ def test_publish_pairs_every_frame_with_its_pose():
     assert [g[3] for g in got2] == [4000, 5000]
     np.testing.assert_allclose(got2[0][2], poses[4])
     np.testing.assert_allclose(got2[1][2], poses[5])
+
+
+def test_engine_fast_per_frame_run(seq, tmp_path):
+    """offline_batched=False forces the per-frame loop in fast mode
+    (bench.py's untimed accuracy run uses this to reuse the per-frame
+    program's compile cache); must match the batched path's accuracy."""
+    path, gt, poses = seq
+    from kintinuous_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config(
+        camera=CAM, log_file=path, static_mode=True, fast_mode=True,
+        volume_resolution=64, voxel_shift=8, offline_batched=False,
+        save_file=str(tmp_path / "pfout"),
+    )
+    engine = SlamEngine(cfg).run()
+    outs = engine.save()
+    stamps, gt_poses = load_trajectory(gt)
+    est_s, est_p = load_trajectory(outs["poses"])
+    ate, n = absolute_trajectory_error(stamps, gt_poses, est_s, est_p)
+    assert n == 12
+    assert ate < 0.008, f"per-frame fast engine ATE {ate*100:.2f} cm"
