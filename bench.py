@@ -121,13 +121,14 @@ def _bench_traversal(cfg_base, n_frames=120):
     def tmark(msg):
         print(f"[bench traversal] {msg}", file=sys.stderr, flush=True)
 
-    # IMPORTANT: the traversal reuses config A VERBATIM (no dynamic_cube)
-    # so its tracker programs hit the same compile-cache keys — each
-    # extra tracker variant costs a 10-17 min XLA compile through the
-    # dev tunnel, which blew the bench past its time budget. The shift/
-    # extraction machinery exercised is identical; dynamic cube only
-    # moves the shift anchor ahead of the camera.
-    cfg = cfg_base
+    # dynamic_cube is REQUIRED for corridor tracking (volume must extend
+    # ahead of the camera or the forward pillars that constrain motion
+    # along the corridor leave the model — measured: ATE 245 cm without,
+    # see also tests/test_gauntlet.py's camera note). C1 and C2 share
+    # this config so the traversal costs ONE extra tracker-variant
+    # compile (~15 min cold through the tunnel, cached across runs);
+    # every other phase stays on config A's programs.
+    cfg = cfg_base.replace(dynamic_cube=True)
     depths, rgbs, poses, log, gt = _corridor_cache(cfg, n_frames)
     tmark("corridor frames ready")
 
@@ -181,6 +182,9 @@ def _bench_traversal(cfg_base, n_frames=120):
         "loops_accepted": engine.deformation.n_loops_accepted,
         "ate_preloop_cm": ate_pre * 100.0,
         "ate_final_cm": ate_post * 100.0,
+        # tracking health: min ICP inliers over the walk — a lost-track
+        # run reports garbage ATE, this makes it visible in the JSON
+        "icp_min": float(min(tr.stats["icp_count"][2:], default=0.0)),
     }
 
 
@@ -356,6 +360,7 @@ Total bench wall time {time.time()-t_start:.0f} s.
                 "traversal_ate_final_cm": round(trav["ate_final_cm"], 2),
                 "traversal_shift_events": trav["engine_shift_events"],
                 "traversal_loops_accepted": trav["loops_accepted"],
+                "traversal_icp_min": trav["icp_min"],
                 "pallas_fallback_frac": round(fb_icp, 4),
                 "stage_ms": stages,
             }
