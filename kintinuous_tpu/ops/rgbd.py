@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from kintinuous_tpu.config import CameraIntrinsics
 from kintinuous_tpu.geometry import se3
-from kintinuous_tpu.geometry.camera import bilinear_sample
 from kintinuous_tpu.ops.reduce import GNSystem, icp_step, solve_gn
 
 # squared minimum gradient magnitudes per level, finest first
@@ -39,15 +38,58 @@ MIN_GRAD2 = (12.0 ** 2, 5.0 ** 2, 3.0 ** 2, 1.0 ** 2)
 MAX_DEPTH_DELTA = 0.07  # metres (RGBDOdometry.cpp:40)
 
 
+def pack_prev_texture(
+    int_prev: jnp.ndarray,
+    gradx_prev: jnp.ndarray,
+    grady_prev: jnp.ndarray,
+    depth_prev: jnp.ndarray,
+) -> jnp.ndarray:
+    """(H,W) x4 channels -> (H*W, 4) row texture.
+
+    One contiguous 16 B row gather fetches all four previous-frame
+    channels per bilinear corner — the img_rows pattern of
+    ops/tsdf_fast.build_depth_tables (contiguous row gathers run ~3x
+    faster than scalar gathers on TPU and amortise the channels into
+    one fetch). Built once per level, reused across GN iterations."""
+    tex = jnp.stack(
+        [int_prev, gradx_prev, grady_prev, depth_prev], axis=-1
+    ).reshape(-1, 4)
+    (tex,) = jax.lax.optimization_barrier((tex,))
+    return tex
+
+
+def _bilinear_rows(tex: jnp.ndarray, H: int, W: int, uv: jnp.ndarray):
+    """Bilinear sample of an (H*W, C) row texture at uv (...,2): four
+    row gathers instead of 4*C scalar gathers; weights are applied per
+    row so each channel gets exactly bilinear_sample's arithmetic."""
+    u = jnp.clip(uv[..., 0], 0.0, W - 1.000001)
+    v = jnp.clip(uv[..., 1], 0.0, H - 1.000001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = (u - u0)[..., None]
+    dv = (v - v0)[..., None]
+    u1 = jnp.minimum(u0 + 1, W - 1)
+    v1 = jnp.minimum(v0 + 1, H - 1)
+
+    def corner(vv, uu):
+        idx = (vv * W + uu).reshape(-1)
+        return tex[idx].reshape(*uu.shape, tex.shape[-1])
+
+    return (
+        corner(v0, u0) * (1 - du) * (1 - dv)
+        + corner(v0, u1) * du * (1 - dv)
+        + corner(v1, u0) * (1 - du) * dv
+        + corner(v1, u1) * du * dv
+    )
+
+
 def rgb_system(
     cam: CameraIntrinsics,
     T_curr_to_prev: jnp.ndarray,
     vmap_curr: jnp.ndarray,  # (3,h,w) current camera-frame vertices
     int_curr: jnp.ndarray,  # (h,w) current intensity
-    int_prev: jnp.ndarray,  # (h,w) previous intensity
-    gradx_prev: jnp.ndarray,  # (h,w) Sobel d/dx of int_prev
-    grady_prev: jnp.ndarray,
-    depth_prev: jnp.ndarray,  # (h,w) previous depth (metres, 0 invalid)
+    tex_prev: jnp.ndarray,  # (H*W,4) packed [int|gradx|grady|depth] (pack_prev_texture)
+    prev_hw: Tuple[int, int],
     min_grad2: float,
     max_depth_delta: float = MAX_DEPTH_DELTA,
 ) -> GNSystem:
@@ -59,15 +101,16 @@ def rgb_system(
     zs = jnp.maximum(pz, 1e-6)
     u = px / zs * cam.fx + cam.cx
     v = py / zs * cam.fy + cam.cy
-    H, W = int_prev.shape
+    H, W = prev_hw
     in_img = (pz > 0) & (u >= 1) & (u <= W - 2) & (v >= 1) & (v <= H - 2)
     uv = jnp.stack([u, v], axis=-1)
     uv = jnp.where(in_img[..., None], uv, 1.0)
 
-    i_prev = bilinear_sample(int_prev, uv)
-    gx = bilinear_sample(gradx_prev, uv)
-    gy = bilinear_sample(grady_prev, uv)
-    d_prev = bilinear_sample(depth_prev, uv)
+    samp = _bilinear_rows(tex_prev, H, W, uv)
+    i_prev = samp[..., 0]
+    gx = samp[..., 1]
+    gy = samp[..., 2]
+    d_prev = samp[..., 3]
 
     finite = jnp.isfinite(vmap_curr).all(axis=0)
     mask = (
@@ -167,13 +210,18 @@ def rgbd_icp_odometry(
         cam_l = cam.at_level(l)
         vc, nc = curr_pyr[l]
         mg2 = MIN_GRAD2[min(l, len(MIN_GRAD2) - 1)]
+        # packed once per level, gathered by every GN iteration
+        tex_prev = pack_prev_texture(
+            prev_rgbd.intensity[l], prev_rgbd.gradx[l],
+            prev_rgbd.grady[l], prev_rgbd.depth[l],
+        )
+        prev_hw = prev_rgbd.intensity[l].shape
 
         def body(_, carry):
             T, _, _ = carry
             rgb = rgb_system(
                 cam_l, T, vc,
-                curr_rgbd.intensity[l], prev_rgbd.intensity[l],
-                prev_rgbd.gradx[l], prev_rgbd.grady[l], prev_rgbd.depth[l],
+                curr_rgbd.intensity[l], tex_prev, prev_hw,
                 mg2,
             )
             A, b = rgb.A, rgb.b
