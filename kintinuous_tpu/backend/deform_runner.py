@@ -53,6 +53,10 @@ class MapDeformation:
         self._last_time: Optional[int] = None
         self._last_pose: Optional[np.ndarray] = None
         self._last_node_pos: Optional[np.ndarray] = None
+        # raw (frontend) pose per graph-node time — needed to re-base
+        # slices that arrive AFTER an accepted loop by
+        # isamPose * rawPose^-1 (Deformation.cpp:377)
+        self._raw_pose: Dict[int, np.ndarray] = {}
         self.n_loops_accepted = 0
         self.n_loops_rejected = 0
 
@@ -74,17 +78,51 @@ class MapDeformation:
         self._last_time = time_us
         self._last_pose = T_global
         self._last_node_pos = T_global[:3, 3]
-        # grow the deformation graph along the trajectory (:466-521)
-        self.dgraph.append_poses([time_us], [T_global[:3, 3]])
+        self._raw_pose[time_us] = T_global
+        # grow the deformation graph along the trajectory (:466-521).
+        # Use the graph's CURRENT estimate (add_odometry chains new nodes
+        # from the optimised previous node), so nodes created after an
+        # accepted loop land on the corrected trajectory, consistent
+        # with the re-based slices (Deformation.cpp:348-457).
+        est = self.graph.poses[self.graph.node_id(time_us)]
+        self.dgraph.append_poses([time_us], [est[:3, 3]])
 
     # ----------------------------------------------------------- slices
     def add_slice(self, sl: CloudSlice) -> None:
+        """Pool a processed slice. Slices arriving after an accepted loop
+        are re-based by `isamPose * rawPose^-1` at the nearest node so
+        they land on the corrected trajectory instead of the frontend's
+        uncorrected placement (Deformation.cpp:377, block :348-457) —
+        without this, the map silently forks on any multi-loop run."""
         assert sl.processed is not None, "run SliceProcessor first"
+        if self.n_loops_accepted:
+            k = self._nearest_node(sl.timestamp_us)
+            raw = self._raw_pose.get(self.graph.times[k]) if k is not None else None
+            if raw is not None:
+                corr = self.graph.poses[k] @ np.linalg.inv(raw)
+                R, t = corr[:3, :3], corr[:3, 3]
+                pts = sl.processed["points"]
+                if len(pts):
+                    sl.processed["points"] = (pts @ R.T + t).astype(np.float32)
+                    if "normals" in sl.processed:
+                        sl.processed["normals"] = (
+                            sl.processed["normals"] @ R.T
+                        ).astype(np.float32)
+                sl.pose = (corr @ sl.pose).astype(np.float64)
         self.slices.append(sl)
 
     def add_mesh_patch(self, patch) -> None:
         """Incremental-mesh growth: device-triangulated band patches
-        (the role of UGP3::updateMesh, UGP3.cpp:1680+)."""
+        (the role of UGP3::updateMesh, UGP3.cpp:1680+). Patches arriving
+        after an accepted loop are re-based like slices (add_slice)."""
+        if self.n_loops_accepted and len(patch.vertices):
+            k = self._nearest_node(patch.timestamp_us)
+            raw = self._raw_pose.get(self.graph.times[k]) if k is not None else None
+            if raw is not None:
+                corr = self.graph.poses[k] @ np.linalg.inv(raw)
+                patch.vertices = (
+                    patch.vertices @ corr[:3, :3].T + corr[:3, 3]
+                ).astype(np.float32)
         self.mesh_patches.append(patch)
 
     # ------------------------------------------------------------ loops

@@ -114,6 +114,8 @@ def train_vocab_from_klg(klg_path: str, out_path: str, k: int = 512,
     reference's vocabulary-creation mode (DBowInterfaceSurf.cpp:103-113)
     as one call. Samples every `frame_stride`-th frame's ORB
     descriptors, k-means-trains, saves `.npy` to `out_path`."""
+    if cv2 is None:
+        raise RuntimeError("train_vocab_from_klg requires cv2")
     from kintinuous_tpu.io.klg import KlgLogReader
 
     descs = []

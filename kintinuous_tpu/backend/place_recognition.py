@@ -60,6 +60,10 @@ class Keyframe:
     points3d: np.ndarray  # (N,3) camera-frame backprojections (NaN invalid)
     depth_z: bytes  # zlib(uint16 depth mm)
     depth_shape: tuple
+    # jpeg-compressed rgb, like the reference keyframe ring
+    # (PlaceRecognitionInput.h:72-140) — kept for loop-failure debugging
+    # and future appearance-based verification; empty when unavailable
+    rgb_jpg: bytes = b""
 
     @property
     def depth_m(self) -> np.ndarray:
@@ -71,6 +75,18 @@ class Keyframe:
             .astype(np.float32)
             / 1000.0
         )
+
+    @property
+    def rgb(self) -> Optional[np.ndarray]:
+        """(H,W,3) uint8 RGB, or None when not retained."""
+        if not self.rgb_jpg:
+            return None
+        import cv2
+
+        bgr = cv2.imdecode(
+            np.frombuffer(self.rgb_jpg, np.uint8), cv2.IMREAD_COLOR
+        )
+        return bgr[:, :, ::-1].copy() if bgr is not None else None
 
 
 @dataclass
@@ -248,6 +264,9 @@ class PlaceRecognition:
         import zlib
 
         depth_mm = np.clip(depth_m * 1000.0, 0, 65535).astype(np.uint16)
+        ok_jpg, jpg = cv2.imencode(
+            ".jpg", rgb[:, :, ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), 85]
+        )
         kf = Keyframe(
             kf_id=self._next_kf_id,
             timestamp_us=timestamp_us,
@@ -257,6 +276,7 @@ class PlaceRecognition:
             points3d=pts3d,
             depth_z=zlib.compress(depth_mm.tobytes(), 1),
             depth_shape=depth_mm.shape,
+            rgb_jpg=jpg.tobytes() if ok_jpg else b"",
         )
         self._next_kf_id += 1
         self.keyframes.append(kf)

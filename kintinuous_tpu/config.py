@@ -213,8 +213,13 @@ class KintinuousConfig:
 
     @property
     def incremental_mesh(self) -> bool:
-        """Derived as in ConfigArgs.h:159."""
-        return self.mesh and self.online_deformation
+        """Band mesh patches are emitted on every shift whenever meshing
+        is on. The reference gates its incremental mesh on deformation
+        (ConfigArgs.h:159) and re-triangulates all accumulated slices at
+        save instead (MeshGenerator.cpp:37-191); here the same device
+        band-patch machinery serves both cases, so a shifting run's
+        .ply covers departed regions with or without -od."""
+        return self.mesh
 
     def replace(self, **kw) -> "KintinuousConfig":
         return dataclasses.replace(self, **kw)

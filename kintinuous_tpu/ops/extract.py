@@ -41,17 +41,34 @@ def extract_points(
     voxel_size: float,
     capacity: int,
     min_weight: float = 1.0,
+    clamp_edges: bool = False,
+    coord_offset: jnp.ndarray | None = None,
 ) -> ExtractResult:
-    R = vol.tsdf.shape[0]
+    """vol.tsdf may be non-cubic [z,y,x] (a band SLAB view of the blocked
+    fast-mode volume, ops/blocked.slab_to_dense). clamp_edges=True clamps
+    neighbour gathers at the array edge instead of wrapping mod R (no
+    crossing is emitted across an edge: neighbour == self). coord_offset
+    (3,) [x,y,z] shifts the emitted logical coordinates — the slab's
+    voxel offset inside the full volume."""
+    Rz, Ry, Rx = vol.tsdf.shape
+    Rax = (Rx, Ry, Rz)
     sx, sy, sz = int(size[0]), int(size[1]), int(size[2])
 
     def phys_idx(axis, n):
-        logical = jnp.mod(lo[axis] + jnp.arange(n, dtype=jnp.int32), R)
-        return jnp.mod(logical + vol.wrap[axis], R), logical
+        run = lo[axis] + jnp.arange(n, dtype=jnp.int32)
+        if clamp_edges:
+            logical = jnp.clip(run, 0, Rax[axis] - 1)
+        else:
+            logical = jnp.mod(run, Rax[axis])
+        return jnp.mod(logical + vol.wrap[axis], Rax[axis]), logical
 
     px, gx = phys_idx(0, sx + 1)
     py, gy = phys_idx(1, sy + 1)
     pz, gz = phys_idx(2, sz + 1)
+    if coord_offset is not None:
+        gx = gx + coord_offset[0]
+        gy = gy + coord_offset[1]
+        gz = gz + coord_offset[2]
 
     def gather(arr):
         # (sz+1, sy+1, sx+1) sub-box (arrays are [z,y,x])
@@ -80,11 +97,11 @@ def extract_points(
     cx_mask, cx_dt = crossing(t[:sz, :sy, 1:], w[:sz, :sy, 1:])
     cy_mask, cy_dt = crossing(t[:sz, 1:, :sx], w[:sz, 1:, :sx])
     cz_mask, cz_dt = crossing(t[1:, :sy, :sx], w[1:, :sy, :sx])
-    if sx == R:  # +x neighbour of the last column wraps around
+    if sx == Rax[0] and not clamp_edges:  # +x of the last column wraps around
         cx_mask = cx_mask & (jnp.arange(sx)[None, None, :] < sx - 1)
-    if sy == R:
+    if sy == Rax[1] and not clamp_edges:
         cy_mask = cy_mask & (jnp.arange(sy)[None, :, None] < sy - 1)
-    if sz == R:
+    if sz == Rax[2] and not clamp_edges:
         cz_mask = cz_mask & (jnp.arange(sz)[:, None, None] < sz - 1)
 
     any_cross = cx_mask | cy_mask | cz_mask

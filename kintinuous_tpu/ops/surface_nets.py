@@ -49,13 +49,24 @@ def extract_mesh(
     vertex_capacity: int,
     face_capacity: int,
     min_weight: float = 1.0,
+    clamp_edges: bool = False,
+    coord_offset: jnp.ndarray = None,
 ) -> MeshResult:
-    R = vol.tsdf.shape[0]
+    """vol.tsdf may be non-cubic [z,y,x] (a band SLAB view, see
+    ops/blocked.slab_to_dense). clamp_edges clamps neighbour gathers at
+    the array edge instead of wrapping; coord_offset (3,) [x,y,z] shifts
+    the emitted logical coordinates by the slab's offset in the volume."""
+    Rz, Ry, Rx = vol.tsdf.shape
+    Rax = (Rx, Ry, Rz)
     sx, sy, sz = int(size[0]), int(size[1]), int(size[2])
 
     def phys_idx(axis, n):
-        logical = jnp.mod(lo[axis] + jnp.arange(n, dtype=jnp.int32), R)
-        return jnp.mod(logical + vol.wrap[axis], R), logical
+        run = lo[axis] + jnp.arange(n, dtype=jnp.int32)
+        if clamp_edges:
+            logical = jnp.clip(run, 0, Rax[axis] - 1)
+        else:
+            logical = jnp.mod(run, Rax[axis])
+        return jnp.mod(logical + vol.wrap[axis], Rax[axis]), logical
 
     px, gx = phys_idx(0, sx + 1)
     py, gy = phys_idx(1, sy + 1)
@@ -73,9 +84,10 @@ def extract_mesh(
     # corner coordinates (voxel centres) in logical units; use the
     # *unwrapped* running coordinate lo+index so positions are continuous
     # even when the logical range wraps mod R
-    cx = (lo[0] + jnp.arange(sx + 1, dtype=jnp.int32)).astype(jnp.float32) + 0.5
-    cy = (lo[1] + jnp.arange(sy + 1, dtype=jnp.int32)).astype(jnp.float32) + 0.5
-    cz = (lo[2] + jnp.arange(sz + 1, dtype=jnp.int32)).astype(jnp.float32) + 0.5
+    co = coord_offset if coord_offset is not None else jnp.zeros(3, jnp.int32)
+    cx = (co[0] + lo[0] + jnp.arange(sx + 1, dtype=jnp.int32)).astype(jnp.float32) + 0.5
+    cy = (co[1] + lo[1] + jnp.arange(sy + 1, dtype=jnp.int32)).astype(jnp.float32) + 0.5
+    cz = (co[2] + lo[2] + jnp.arange(sz + 1, dtype=jnp.int32)).astype(jnp.float32) + 0.5
 
     def edges(axis):
         """Crossing mask + crossing position for all grid edges along axis."""
@@ -164,9 +176,9 @@ def extract_mesh(
     # voxels (shifts move it by voxel_shift*voxel_size), so
     # origin/voxel + lo + index is invariant across shift events
     oi = jnp.round(vol.origin / voxel_size).astype(jnp.int32)
-    gcx = oi[0] + lo[0] + jnp.arange(sx, dtype=jnp.int32)
-    gcy = oi[1] + lo[1] + jnp.arange(sy, dtype=jnp.int32)
-    gcz = oi[2] + lo[2] + jnp.arange(sz, dtype=jnp.int32)
+    gcx = oi[0] + co[0] + lo[0] + jnp.arange(sx, dtype=jnp.int32)
+    gcy = oi[1] + co[1] + lo[1] + jnp.arange(sy, dtype=jnp.int32)
+    gcz = oi[2] + co[2] + lo[2] + jnp.arange(sz, dtype=jnp.int32)
     gcells = jnp.stack(
         [
             jnp.broadcast_to(gcx[None, None, :], (sz, sy, sx)),

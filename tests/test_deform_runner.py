@@ -27,14 +27,14 @@ def drifting_square(n_side=10, step=0.3, drift_deg=1.0):
     return gt, est
 
 
-def make_slice(points, ts):
+def make_slice(points, ts, pose=None):
     n = len(points)
     return CloudSlice(
         points=points.astype(np.float32),
         colors=np.full((n, 3), 128, np.uint8),
         weights=np.full(n, 10.0),
         dimension="XPlus",
-        pose=np.eye(4),
+        pose=np.eye(4) if pose is None else np.asarray(pose, np.float64),
         timestamp_us=int(ts),
         frame_index=0,
         processed={
@@ -79,6 +79,50 @@ def test_loop_closure_deforms_map():
     last = md.slices[-1]
     d = np.linalg.norm(last.processed["points"].mean(axis=0) - last.pose[:3, 3])
     assert d < 0.4
+
+
+def test_late_slice_rebased_onto_corrected_trajectory():
+    """A slice added AFTER an accepted loop must be re-based by
+    isamPose * rawPose^-1 (Deformation.cpp:377) — otherwise post-loop
+    slices keep the frontend's uncorrected placement and the map forks."""
+    cfg = tiny_test_config(isam_thresh=100.0, dense_sampling_rate=0.5)
+    md = MapDeformation(cfg)
+    gt, est = drifting_square()
+    times = [int(k * 1e6 / 3) for k in range(len(gt))]
+    rng = np.random.default_rng(1)
+    for T, ts in zip(est, times):
+        md.add_frame_pose(ts, T)
+        pts = T[:3, 3][None, :] + rng.uniform(-0.1, 0.1, (30, 3))
+        md.add_slice(make_slice(pts, ts))
+    T_1_2 = np.linalg.inv(gt[0]) @ gt[-1]
+    inl1 = rng.uniform(-0.5, 0.5, (50, 3))
+    inl2 = (inl1 - T_1_2[:3, 3]) @ T_1_2[:3, :3]
+    assert md.add_loop(
+        LoopConstraint(
+            time1=times[0], time2=times[-1], T_1_2=T_1_2,
+            inliers1=inl1, inliers2=inl2, icp_score=0.001,
+        )
+    )
+
+    # the frontend keeps emitting with its (still-drifted) placement:
+    # continue the raw trajectory one more step from the pre-correction
+    # raw pose
+    raw_next = est[-1] @ exp([0, 0, 0, 0.3, 0, 0])
+    ts_next = times[-1] + int(1e6 / 3)
+    md.add_frame_pose(ts_next, raw_next)
+    raw_pts = raw_next[:3, 3][None, :] + rng.uniform(-0.1, 0.1, (30, 3))
+    md.add_slice(make_slice(raw_pts, ts_next, pose=raw_next))
+
+    # the corrected node estimate chains off the optimised trajectory
+    corrected = md.graph.poses[md.graph.node_id(ts_next)]
+    late = md.slices[-1]
+    # raw placement was far from the corrected node...
+    assert np.linalg.norm(raw_next[:3, 3] - corrected[:3, 3]) > 0.2
+    # ...but the pooled points landed around the corrected one
+    d = np.linalg.norm(late.processed["points"].mean(axis=0) - corrected[:3, 3])
+    assert d < 0.15
+    # and the slice pose was rewritten consistently
+    np.testing.assert_allclose(late.pose[:3, 3], corrected[:3, 3], atol=0.1)
 
 
 def test_bad_loop_rejected():

@@ -152,6 +152,37 @@ def test_engine_saves_incremental_mesh(tmp_path):
     assert n == 4 and out.exists()
 
 
+def test_whole_map_mesh_without_deformation(tmp_path):
+    """-m WITHOUT -od must still save a mesh covering shifted-out
+    regions (reference meshes every accumulated slice at save,
+    MeshGenerator.cpp:37-191) — not just the live volume."""
+    from kintinuous_tpu.io.synth import Scene, generate_klg, straight_trajectory
+    from kintinuous_tpu.io.ply import load_ply
+    from kintinuous_tpu.runtime.engine import SlamEngine
+
+    cfg = cfg_incr(online_deformation=False)
+    poses = straight_trajectory(18, distance=1.0, axis=0)
+    log = str(tmp_path / "walk.klg")
+    gt = str(tmp_path / "walk.gt")
+    generate_klg(log, CAM, poses, scene=Scene.default(), gt_path=gt)
+    cfg = cfg.replace(
+        log_file=log, trajectory_file=gt, save_file=str(tmp_path / "out"),
+    )
+    engine = SlamEngine(cfg).run()
+    shifts = np.array(engine.tracker.shift_log)
+    assert (shifts != 0).any(), "walk never shifted — weaken test"
+    outs = engine.save()
+    mesh = load_ply(outs["mesh"])
+    assert len(mesh["vertices"]) > 100 and len(mesh["faces"]) > 100
+    # departed bands lie BEHIND the live volume's -x face
+    vol_lo_x = float(np.asarray(engine.tracker.state.vol.origin)[0])
+    n_behind = int((mesh["vertices"][:, 0] < vol_lo_x - 1e-3).sum())
+    assert n_behind > 50, (
+        f"saved mesh has only {n_behind} vertices behind the live volume "
+        f"(x < {vol_lo_x:.3f}) — shifted-out regions missing"
+    )
+
+
 def _edge_stats(faces):
     """(interior_fraction, n_edges): interior = edge used by >=2 faces."""
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])

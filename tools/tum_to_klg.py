@@ -55,15 +55,23 @@ def read_index(path: str) -> list:
 
 def associate(depth_rows, rgb_rows, max_diff: float):
     """Nearest-timestamp pairing, each rgb used at most once
-    (associate.py role; greedy over sorted candidate gaps)."""
-    pairs = []
+    (associate.py role; greedy over sorted candidate gaps).
+
+    Candidate pairs come from a two-pointer sweep over the (sorted)
+    timestamp lists — a full NxM cross product is ~6M iterations on a
+    real TUM sequence and took minutes (ADVICE r2)."""
     cands = []
+    rts = [rt for rt, _ in rgb_rows]
+    j = 0
     for di, (dt, _) in enumerate(depth_rows):
-        for ri, (rt, _) in enumerate(rgb_rows):
-            gap = abs(dt - rt)
-            if gap <= max_diff:
-                cands.append((gap, di, ri))
+        while j < len(rts) and rts[j] < dt - max_diff:
+            j += 1
+        k = j
+        while k < len(rts) and rts[k] <= dt + max_diff:
+            cands.append((abs(dt - rts[k]), di, k))
+            k += 1
     cands.sort()
+    pairs = []
     used_d, used_r = set(), set()
     for gap, di, ri in cands:
         if di not in used_d and ri not in used_r:
@@ -78,16 +86,19 @@ def load_depth_mm(path: str, depth_factor: float) -> np.ndarray:
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if img is None:
         raise IOError(f"cannot read depth image {path}")
-    # units-per-metre -> millimetres
-    return (img.astype(np.float64) * (1000.0 / depth_factor)).astype(np.uint16)
+    # units-per-metre -> millimetres; round (not truncate) to avoid a
+    # systematic downward depth bias for non-integral factors (ADVICE r2)
+    return np.round(img.astype(np.float64) * (1000.0 / depth_factor)).astype(
+        np.uint16
+    )
 
 
 def convert(dataset_dir: str, out_klg: str, max_diff: float = 0.02,
             depth_factor: float = 5000.0, max_frames: int = -1) -> int:
     if cv2 is None:  # pragma: no cover
         raise RuntimeError("tum_to_klg requires cv2 for PNG decode")
-    depth_rows = read_index(os.path.join(dataset_dir, "depth.txt"))
-    rgb_rows = read_index(os.path.join(dataset_dir, "rgb.txt"))
+    depth_rows = sorted(read_index(os.path.join(dataset_dir, "depth.txt")))
+    rgb_rows = sorted(read_index(os.path.join(dataset_dir, "rgb.txt")))
     pairs = associate(depth_rows, rgb_rows, max_diff)
     if max_frames > 0:
         pairs = pairs[:max_frames]
