@@ -22,6 +22,17 @@ Reference layer map: /root/reference/src (see SURVEY.md).
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU MXU matmuls default to bfloat16 inputs. Every geometry matmul in
+# the tracking path (pose @ delta, SE3 transforms, GN system builds)
+# would silently re-quantise metre-scale coordinates to ~1 cm each frame
+# — measured 0.4 cm/frame pose drift on a 512^3 GT replay, the round-3
+# corridor tracking killer. These contractions are a few MFLOP/frame, so
+# full f32 costs nothing; the genuinely MXU-bound kernels
+# (ops/pallas_*) choose bf16 explicitly where it is safe.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from kintinuous_tpu.config import KintinuousConfig
 
 __all__ = ["KintinuousConfig", "__version__"]

@@ -21,6 +21,7 @@ Rebuild of the reference's Deformation thread (src/backend/Deformation.cpp):
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -59,9 +60,18 @@ class MapDeformation:
         self._raw_pose: Dict[int, np.ndarray] = {}
         self.n_loops_accepted = 0
         self.n_loops_rejected = 0
+        # add_frame_pose runs on the frame loop, add_slice on the slice
+        # worker, add_loop on the PR worker — the reference serialises
+        # these through the Deformation thread's mailbox
+        # (Deformation.cpp:30-60); one lock replaces that mailbox.
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------ poses
     def add_frame_pose(self, time_us: int, T_global: np.ndarray) -> None:
+        with self._lock:
+            self._add_frame_pose(time_us, T_global)
+
+    def _add_frame_pose(self, time_us: int, T_global: np.ndarray) -> None:
         T_global = np.asarray(T_global, np.float64)
         if self._last_time is None:
             self.graph.add_node(time_us, T_global)
@@ -95,6 +105,10 @@ class MapDeformation:
         uncorrected placement (Deformation.cpp:377, block :348-457) —
         without this, the map silently forks on any multi-loop run."""
         assert sl.processed is not None, "run SliceProcessor first"
+        with self._lock:
+            self._add_slice_locked(sl)
+
+    def _add_slice_locked(self, sl: CloudSlice) -> None:
         if self.n_loops_accepted:
             k = self._nearest_node(sl.timestamp_us)
             raw = self._raw_pose.get(self.graph.times[k]) if k is not None else None
@@ -115,6 +129,10 @@ class MapDeformation:
         """Incremental-mesh growth: device-triangulated band patches
         (the role of UGP3::updateMesh, UGP3.cpp:1680+). Patches arriving
         after an accepted loop are re-based like slices (add_slice)."""
+        with self._lock:
+            self._add_mesh_patch(patch)
+
+    def _add_mesh_patch(self, patch) -> None:
         if self.n_loops_accepted and len(patch.vertices):
             k = self._nearest_node(patch.timestamp_us)
             raw = self._raw_pose.get(self.graph.times[k]) if k is not None else None
@@ -128,6 +146,10 @@ class MapDeformation:
     # ------------------------------------------------------------ loops
     def add_loop(self, c: LoopConstraint) -> bool:
         """Returns True if the loop was accepted and the map deformed."""
+        with self._lock:
+            return self._add_loop(c)
+
+    def _add_loop(self, c: LoopConstraint) -> bool:
         i = self._nearest_node(c.time1)
         j = self._nearest_node(c.time2)
         if i is None or j is None or i == j:
@@ -214,7 +236,8 @@ class MapDeformation:
 
     # ------------------------------------------------------------ saves
     def optimised_trajectory(self):
-        ts = np.asarray(self.graph.times)
+        with self._lock:
+            ts = np.asarray(self.graph.times)
         order = np.argsort(ts)
         return ts[order], [self.graph.poses[k] for k in order]
 

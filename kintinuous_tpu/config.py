@@ -117,6 +117,9 @@ class KintinuousConfig:
     # untimed run should reuse the per-frame program's compile cache
     # instead of paying the batch program's (much longer) XLA compile.
     offline_batched: bool = True
+    # frames per batched dispatch in the offline engine loop; a trailing
+    # partial batch runs per-frame so only ONE batch program compiles
+    offline_batch_size: int = 8
 
     # --- shifting ---
     static_mode: bool = False
@@ -136,7 +139,9 @@ class KintinuousConfig:
     pyramid_levels: int = 4
     # per-level GN iterations, index 0 = finest (ICPOdometry.cpp:44-55)
     icp_iterations: Tuple[int, ...] = (10, 5, 4, 0)
-    icp_fast_iterations: Tuple[int, ...] = (0, 7, 4, 0)
+    # -fod schedule: skip the finest level, (0,10,5,0) = reference parity
+    # (ICPOdometry.cpp:49-55)
+    icp_fast_iterations: Tuple[int, ...] = (0, 10, 5, 0)
     icp_dist_thresh: float = 0.10  # metres (reduce.cu:211-254)
     icp_angle_thresh_deg: float = 20.0
     # GN steps per projective association in fast mode (1 = associate

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from kintinuous_tpu.ops.tsdf import VolumeState
@@ -70,9 +71,20 @@ def extract_points(
         gy = gy + coord_offset[1]
         gz = gz + coord_offset[2]
 
-    def gather(arr):
-        # (sz+1, sy+1, sx+1) sub-box (arrays are [z,y,x])
-        return arr[pz[:, None, None], py[None, :, None], px[None, None, :]]
+    if clamp_edges:
+        # contiguous box: edge-pad + dynamic_slice instead of a random-
+        # access gather — a (20,512,512) band gather costs ~0.3 s on TPU
+        # (~54 ns/element), the contiguous copy microseconds. Edge
+        # padding reproduces the clamp semantics of the +1 neighbour.
+        def gather(arr):
+            pad = jnp.pad(arr, ((0, 1), (0, 1), (0, 1)), mode="edge")
+            return jax.lax.dynamic_slice(
+                pad, (lo[2], lo[1], lo[0]), (sz + 1, sy + 1, sx + 1)
+            )
+    else:
+        def gather(arr):
+            # (sz+1, sy+1, sx+1) sub-box (arrays are [z,y,x])
+            return arr[pz[:, None, None], py[None, :, None], px[None, None, :]]
 
     from kintinuous_tpu.ops.tsdf import unpack_cw
 

@@ -188,6 +188,7 @@ def _integrate_kernel(
         D = jax.lax.dot_general(
             P, Wc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
         )  # (6PH, 128)
         # one shared (PH,128) row mask; the ray limbs share pv, so the
         # hi+lo sum falls out of a single masked reduction of D0+D1

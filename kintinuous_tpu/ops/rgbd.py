@@ -30,7 +30,14 @@ import jax.numpy as jnp
 
 from kintinuous_tpu.config import CameraIntrinsics
 from kintinuous_tpu.geometry import se3
-from kintinuous_tpu.ops.reduce import GNSystem, icp_step, solve_gn
+from kintinuous_tpu.ops.reduce import (
+    GNSystem,
+    icp_associate,
+    icp_build_from_assoc,
+    icp_step,
+    pack_maps,
+    solve_gn,
+)
 
 # squared minimum gradient magnitudes per level, finest first
 # (reference RGBDOdometry.cpp:109-113)
@@ -92,8 +99,14 @@ def rgb_system(
     prev_hw: Tuple[int, int],
     min_grad2: float,
     max_depth_delta: float = MAX_DEPTH_DELTA,
+    axis_name: Optional[str] = None,
 ) -> GNSystem:
-    """One weighted photometric normal-equation build at one level."""
+    """One weighted photometric normal-equation build at one level.
+
+    Multi-chip: vmap_curr/int_curr may hold only this device's pixel-row
+    block (tex_prev stays full). axis_name psums the sigma statistics so
+    the robust weights match the single-chip values; the caller psums
+    the returned A/b/count like the ICP systems."""
     R = T_curr_to_prev[:3, :3]
     t = T_curr_to_prev[:3, 3]
     p = jnp.einsum("ij,jhw->ihw", R, vmap_curr) + t[:, None, None]
@@ -124,8 +137,12 @@ def rgb_system(
 
     # sigma pass (reference computeRgbResidual statistics, :668-791)
     m = mask.astype(jnp.float32)
-    cnt = jnp.maximum(m.sum(), 1.0)
-    sigma = jnp.sqrt(jnp.sum(jnp.where(mask, diff * diff, 0.0)) / cnt)
+    ssum = jnp.sum(jnp.where(mask, diff * diff, 0.0))
+    scnt = m.sum()
+    if axis_name is not None:
+        ssum = jax.lax.psum(ssum, axis_name)
+        scnt = jax.lax.psum(scnt, axis_name)
+    sigma = jnp.sqrt(ssum / jnp.maximum(scnt, 1.0))
     w = jnp.where(mask, 1.0 / (sigma + jnp.abs(diff) + 1e-3), 0.0)
 
     # chain rule g = dI/dp
@@ -191,11 +208,17 @@ def rgbd_icp_odometry(
     angle_thresh_deg: float = 20.0,
     jump_reject_m: float = 0.3,
     min_inliers: float = 30.0,
+    reassoc_every: int = 1,
 ):
     """Fused dense RGB-D (+ optional ICP) coarse-to-fine odometry.
 
     Returns (T_curr_to_prev, rgb_inliers, sigma). The 0.3 m jump guard
     (RGBDOdometry.cpp:383-387) rejects divergent solutions to identity.
+
+    reassoc_every > 1 freezes the ICP projective association for groups
+    of GN steps (the expensive gather; ops/reduce.icp_solve_level does
+    the same for the ICP-only tracker). The photometric term re-samples
+    every iteration regardless — its gather IS the residual.
     """
     levels = len(curr_pyr)
     sin_t = math.sin(math.radians(angle_thresh_deg))
@@ -216,21 +239,17 @@ def rgbd_icp_odometry(
             prev_rgbd.grady[l], prev_rgbd.depth[l],
         )
         prev_hw = prev_rgbd.intensity[l].shape
+        if pred_pyr is not None:
+            vp, np_ = pred_pyr[l]
+            packed_icp = pack_maps(vp, np_)
+            icp_hw = vp.shape[1:]
 
-        def body(_, carry):
-            T, _, _ = carry
-            rgb = rgb_system(
-                cam_l, T, vc,
-                curr_rgbd.intensity[l], tex_prev, prev_hw,
-                mg2,
-            )
+        def fused_solve(T, rgb, icp):
             A, b = rgb.A, rgb.b
-            if pred_pyr is not None:
+            if icp is not None:
                 # intensity-gradient units dwarf metric ICP units by ~1e4;
                 # trace-normalise each system so icp_weight (=10, reference
                 # RGBDOdometry.cpp:316-321) sets the actual balance
-                vp, np_ = pred_pyr[l]
-                icp = icp_step(cam_l, T, vc, nc, vp, np_, dist_thresh, sin_t)
                 s_rgb = 1.0 / (jnp.trace(A) + 1e-12)
                 s_icp = 1.0 / (jnp.trace(icp.A) + 1e-12)
                 A = s_rgb * A + w2 * s_icp * icp.A
@@ -238,12 +257,52 @@ def rgbd_icp_odometry(
             xi, ok = solve_gn(A, b)
             ok = ok & (rgb.count >= min_inliers)
             T_new = se3.exp_se3(xi) @ T
-            T = jnp.where(ok, T_new, T)
-            return T, rgb.count, rgb.residual
+            return jnp.where(ok, T_new, T), rgb.count, rgb.residual
 
-        T, count, sigma = jax.lax.fori_loop(
-            0, iters, body, (T, count, sigma)
-        )
+        if pred_pyr is None or reassoc_every <= 1:
+            def body(_, carry):
+                T, _, _ = carry
+                rgb = rgb_system(
+                    cam_l, T, vc,
+                    curr_rgbd.intensity[l], tex_prev, prev_hw,
+                    mg2,
+                )
+                icp = (
+                    icp_step(cam_l, T, vc, nc, vp, np_, dist_thresh, sin_t)
+                    if pred_pyr is not None else None
+                )
+                return fused_solve(T, rgb, icp)
+
+            T, count, sigma = jax.lax.fori_loop(
+                0, iters, body, (T, count, sigma)
+            )
+        else:
+            n_groups = -(-iters // reassoc_every)
+
+            def inner(_, carry):
+                T, _, _, d, n_t, in_img = carry
+                rgb = rgb_system(
+                    cam_l, T, vc,
+                    curr_rgbd.intensity[l], tex_prev, prev_hw,
+                    mg2,
+                )
+                icp = icp_build_from_assoc(
+                    T, vc, nc, d, n_t, in_img, dist_thresh, sin_t
+                )
+                T, cnt, res = fused_solve(T, rgb, icp)
+                return T, cnt, res, d, n_t, in_img
+
+            def outer(_, carry):
+                T, cnt, res = carry
+                d, n_t, in_img = icp_associate(cam_l, T, vc, packed_icp, icp_hw)
+                T, cnt, res, *_ = jax.lax.fori_loop(
+                    0, reassoc_every, inner, (T, cnt, res, d, n_t, in_img)
+                )
+                return T, cnt, res
+
+            T, count, sigma = jax.lax.fori_loop(
+                0, n_groups, outer, (T, count, sigma)
+            )
     # tracking-failure guard: reject > jump_reject_m translations
     jump = jnp.linalg.norm(T[:3, 3])
     T = jnp.where(jump < jump_reject_m, T, jnp.eye(4, dtype=jnp.float32))

@@ -74,10 +74,25 @@ def extract_mesh(
 
     from kintinuous_tpu.ops.tsdf import unpack_cw
 
-    t = vol.tsdf[pz[:, None, None], py[None, :, None], px[None, None, :]]
-    w, cr, cg, cb = unpack_cw(
-        vol.cw[pz[:, None, None], py[None, :, None], px[None, None, :]]
-    )
+    if clamp_edges:
+        # contiguous box: edge-pad + dynamic_slice instead of a random-
+        # access gather (see ops/extract.extract_points) — the band mesh
+        # shares the slab fast path
+        import jax as _jax
+
+        def _box(arr):
+            pad = jnp.pad(arr, ((0, 1), (0, 1), (0, 1)), mode="edge")
+            return _jax.lax.dynamic_slice(
+                pad, (lo[2], lo[1], lo[0]), (sz + 1, sy + 1, sx + 1)
+            )
+
+        t = _box(vol.tsdf)
+        w, cr, cg, cb = unpack_cw(_box(vol.cw))
+    else:
+        t = vol.tsdf[pz[:, None, None], py[None, :, None], px[None, None, :]]
+        w, cr, cg, cb = unpack_cw(
+            vol.cw[pz[:, None, None], py[None, :, None], px[None, None, :]]
+        )
     col = jnp.stack([cr, cg, cb], axis=-1)
 
     obs = w >= min_weight

@@ -76,6 +76,9 @@ class ShardedStepOutputs(NamedTuple):
     slices: Tuple[ExtractResult, ExtractResult, ExtractResult]
     icp_count: jnp.ndarray  # () f32
     icp_residual: jnp.ndarray  # () f32
+    # fraction of measured pixels the model raycast could not serve
+    # (degradation gauge; fast path computes it, dense path reports 0)
+    raycast_fallback: jnp.ndarray = 0.0  # () f32
 
 
 def state_shardings(mesh: Mesh):
@@ -445,7 +448,7 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
     out_spec = ShardedStepOutputs(
         pose_global=P(), shift=P(),
         slices=(slice_spec, slice_spec, slice_spec),
-        icp_count=P(), icp_residual=P(),
+        icp_count=P(), icp_residual=P(), raycast_fallback=P(),
     )
 
     @partial(
@@ -602,6 +605,7 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
             slices=slices,
             icp_count=icp_count,
             icp_residual=icp_res,
+            raycast_fallback=jnp.float32(0.0),
         )
         return new_state, out
 

@@ -60,15 +60,25 @@ class ShardedTracker:
                 make_fast_sharded_step,
             )
 
-            self._step_odom = make_fast_sharded_step(cfg, self.mesh, use_odometry=True)
-            self._step_ext = make_fast_sharded_step(cfg, self.mesh, use_odometry=False)
+            self._step_odom = make_fast_sharded_step(
+                cfg, self.mesh, use_odometry=True
+            )[0]
+            self._step_ext = make_fast_sharded_step(
+                cfg, self.mesh, use_odometry=False
+            )[0]
             self._fetch_all = make_fast_sharded_extract(cfg, self.mesh)
             self.state = make_fast_sharded_state(cfg, self.mesh)
         else:
+            if cfg.rgbd_odometry or cfg.icp_plus_rgbd:
+                raise NotImplementedError(
+                    "sharded RGB-D odometry requires fast_mode"
+                )
             self._step_odom = make_sharded_step(cfg, self.mesh, use_odometry=True)
             self._step_ext = make_sharded_step(cfg, self.mesh, use_odometry=False)
             self._fetch_all = make_sharded_extract(cfg, self.mesh)
             self.state = make_sharded_state(cfg, self.mesh)
+        self._batched = None  # lazily built scanned multi-frame dispatch
+        self._pending_batches: deque = deque()
         self._pending: deque = deque()
         self.slices: List[CloudSlice] = []
         self.mesh_patches: List = []
@@ -78,7 +88,9 @@ class ShardedTracker:
         self.pose_callback: Optional[Callable] = None
         self.mesh_callback = mesh_callback
         self._frame_idx = 0
-        self.stats = {"icp_count": [], "icp_residual": []}
+        self.stats = {
+            "icp_count": [], "icp_residual": [], "raycast_fallback": [],
+        }
         self.shift_log: List[np.ndarray] = []
 
     # ------------------------------------------------------------------
@@ -108,6 +120,98 @@ class ShardedTracker:
     def flush(self) -> None:
         while self._pending:
             self._consume(*self._pending.popleft())
+        while self._pending_batches:
+            self._consume_batch(*self._pending_batches.popleft())
+
+    # ---------------------------------------------------- batched path
+    def upload_batch(self, frames):
+        """Host->device upload of (depth, rgb, ts) frames for
+        process_batch_device (mirrors Tracker.upload_batch)."""
+        H, W = self.cfg.camera.height, self.cfg.camera.width
+        depths = np.stack([np.asarray(f[0], np.uint16) for f in frames])
+        rgbs = np.stack(
+            [
+                np.asarray(f[1], np.uint8)
+                if f[1] is not None else np.zeros((H, W, 3), np.uint8)
+                for f in frames
+            ]
+        )
+        return jnp.asarray(depths), jnp.asarray(rgbs), [f[2] for f in frames]
+
+    def process_batch_device(self, depths_j, rgbs_j, ts_list) -> None:
+        """Scanned multi-frame dispatch over the sharded step — ONE
+        device round-trip per batch (fast_mode only; the single-chip
+        analogue is Tracker.process_batch_device)."""
+        assert self.cfg.fast_mode, "batched sharded dispatch needs fast_mode"
+        assert self._frame_idx > 0, "first frame must go through process_frame"
+        from kintinuous_tpu.parallel.fast_sharded import (
+            make_batched_fast_sharded_step,
+        )
+
+        self.flush()
+        B = int(depths_j.shape[0])
+        if self._batched is None:
+            self._batched = {}
+        if B not in self._batched:
+            self._batched[B] = make_batched_fast_sharded_step(
+                self.cfg, self.mesh, use_odometry=True
+            )
+        deltas = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+        with self.mesh:
+            self.state, ys, acc, accf = self._batched[B](
+                self.state, depths_j, rgbs_j, deltas
+            )
+        self._frame_idx += B
+        self._pending_batches.append((ys, acc, accf, list(ts_list), B))
+        while len(self._pending_batches) > 1:
+            self._consume_batch(*self._pending_batches.popleft())
+
+    def process_frames(self, frames) -> None:
+        """Batched offline path over pre-assembled (depth, rgb, ts)."""
+        while frames and self._frame_idx == 0:
+            d, c, ts = frames[0]
+            self.process_frame(d, c, ts)
+            frames = frames[1:]
+        if not frames:
+            return
+        self.process_batch_device(*self.upload_batch(frames))
+        self.flush()
+
+    def _consume_batch(self, ys, acc, accf, ts_list, B) -> None:
+        poses_g, shifts, counts, resids, fallbacks = jax.device_get(
+            (ys[0], ys[1], ys[2], ys[3], ys[4])
+        )
+        accf_h = np.asarray(accf)
+        for k, ts in enumerate(ts_list):
+            self.poses.append(np.asarray(poses_g[k]))
+            self.stamps_us.append(ts)
+            if self.pose_callback:
+                self.pose_callback(ts, self.poses[-1])
+            self.stats["icp_count"].append(float(counts[k]))
+            self.stats["icp_residual"].append(float(resids[k]))
+            self.stats["raycast_fallback"].append(float(fallbacks[k]))
+            self.shift_log.append(np.asarray(shifts[k]))
+        for axis in range(3):
+            fidx = int(accf_h[axis])
+            if fidx < 0:
+                continue
+            p, c, w = self._concat_chips(acc[axis])
+            if len(p) == 0:
+                continue
+            s = int(np.asarray(shifts[fidx])[axis])
+            sl = CloudSlice(
+                points=p,
+                colors=np.clip(c, 0, 255).astype(np.uint8),
+                weights=w,
+                dimension=_AXIS_DIM[(axis, 1 if s > 0 else -1)],
+                pose=np.asarray(poses_g[fidx]),
+                timestamp_us=ts_list[fidx],
+                frame_index=len(self.poses) - B + fidx,
+                wall_time=_time.time(),
+            )
+            self.slices.append(sl)
+            if self.slice_callback:
+                self.slice_callback(sl)
 
     def _concat_chips(self, res) -> tuple:
         """Per-chip stacked ExtractResult -> (points, colors, weights)."""
@@ -137,6 +241,7 @@ class ShardedTracker:
             self.pose_callback(timestamp_us, pose_g)
         self.stats["icp_count"].append(float(out.icp_count))
         self.stats["icp_residual"].append(float(out.icp_residual))
+        self.stats["raycast_fallback"].append(float(out.raycast_fallback))
         shift = np.asarray(out.shift)
         self.shift_log.append(shift)
         for axis in range(3):

