@@ -220,13 +220,15 @@ def _bench_traversal(cfg_base, n_frames=288):
     RESULTS["traversal_shift_events_frontend"] = n_shift
 
     # --- C2: full pipeline accuracy (untimed; tunnel-fed klg) --------
-    # batched at the SAME batch size as configs A/C1 so the engine run
-    # reuses their compiled programs (the per-frame program covers the
-    # trailing partial batch)
+    # per-frame: the batched wrapper keeps ONE shift per axis per batch,
+    # and this walk shifts on ~1 in 3 frames — batched dispatch would
+    # silently drop most slices. The per-frame programs are compiled by
+    # config A's warmup; with band-local extraction a shift frame costs
+    # milliseconds, so the 288-frame engine run stays in budget.
     cfg_e = cfg.replace(
         log_file=log, online_deformation=True, loop_throttle_s=0.0,
         place_rec_motion_thresh=0.15, save_file=f"{CACHE_DIR}/bench_out",
-        offline_batched=True, offline_batch_size=BATCH,
+        offline_batched=False,
     )
     engine = SlamEngine(cfg_e).run()
     mark("C2 engine run done")

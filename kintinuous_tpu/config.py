@@ -120,6 +120,11 @@ class KintinuousConfig:
     # frames per batched dispatch in the offline engine loop; a trailing
     # partial batch runs per-frame so only ONE batch program compiles
     offline_batch_size: int = 8
+    # extraction-buffer slots PER AXIS carried by one batched dispatch;
+    # a -dc traversal shifts on ~1 in 3 frames, so a 32-frame batch can
+    # see ~10 shifts per axis. Overflow keeps the newest and is counted
+    # in stats["batch_slices_dropped"].
+    batch_shift_slots: int = 8
 
     # --- shifting ---
     static_mode: bool = False

@@ -161,3 +161,35 @@ def test_dynamic_cube_shifts_toward_view():
     cfg2 = fast_cfg()
     tracker2 = run(cfg2, poses, use_gt=True)
     assert all(int(s[2]) == 0 for s in tracker2.shift_log)
+
+
+def test_batched_multi_shift_slices_match_per_frame():
+    """ONE batched dispatch spanning several shifts must emit the SAME
+    slices as the per-frame loop — the old wrapper kept only the last
+    shift per axis per batch (VERDICT r2 weak #7)."""
+    cfg = fast_cfg()
+    poses = straight_trajectory(24, distance=1.2, axis=0)
+    frames = [render_frame(Scene.default(), CAM, T) for T in poses]
+    items = [(d, c, int(i * 1e6 / 30)) for i, (d, c) in enumerate(frames)]
+
+    pf = Tracker(cfg)
+    for d, c, ts in items:
+        pf.process_frame(d, c, ts)
+    pf.flush()
+    n_shifts = sum(1 for s in pf.shift_log if s[0] > 0)
+    assert n_shifts >= 3, "walk did not shift enough — strengthen it"
+
+    bt = Tracker(cfg)
+    bt.process_frames(items)  # one 23-frame batch after frame 0
+    bt.flush()
+
+    assert "batch_slices_dropped" not in bt.stats
+    assert [s.dimension for s in bt.slices] == [s.dimension for s in pf.slices]
+    assert [s.timestamp_us for s in bt.slices] == [
+        s.timestamp_us for s in pf.slices
+    ]
+    for a, b in zip(pf.slices, bt.slices):
+        assert len(a.points) == len(b.points)
+        oa = np.lexsort((a.points[:, 2], a.points[:, 1], a.points[:, 0]))
+        ob = np.lexsort((b.points[:, 2], b.points[:, 1], b.points[:, 0]))
+        np.testing.assert_allclose(a.points[oa], b.points[ob], atol=1e-4)
