@@ -120,8 +120,13 @@ def _bench_orbit(cfg, frames, n_frames=96, warm_per_frame_odometry=False):
     tracker.process_frames(warm[n_pf:])
     dev_depths = jnp.asarray(np.stack([np.asarray(f[0], np.uint16) for f in frames]))
     dev_rgbs = jnp.asarray(np.stack([np.asarray(f[1], np.uint8) for f in frames]))
-    gather = jax.jit(lambda idx: (dev_depths[idx], dev_rgbs[idx]))
-    jax.block_until_ready(gather(jnp.zeros((BATCH,), jnp.int32)))
+    # frame stacks ride as ARGUMENTS: closing over them would embed
+    # hundreds of MB of constants in the HLO shipped to the tunnel's
+    # compile service (HTTP 413 at 288 corridor frames)
+    gather = jax.jit(lambda ds, cs, idx: (ds[idx], cs[idx]))
+    jax.block_until_ready(
+        gather(dev_depths, dev_rgbs, jnp.zeros((BATCH,), jnp.int32))
+    )
 
     t0 = time.perf_counter()
     for k in range(0, n_frames, BATCH):
@@ -129,7 +134,7 @@ def _bench_orbit(cfg, frames, n_frames=96, warm_per_frame_odometry=False):
             [_pingpong(k + j + 1 + BATCH, n_unique) for j in range(BATCH)],
             jnp.int32,
         )
-        d_b, c_b = gather(idx)
+        d_b, c_b = gather(dev_depths, dev_rgbs, idx)
         ts = [(k + j + 1 + BATCH) * 33333 for j in range(BATCH)]
         tracker.process_batch_device(d_b, c_b, ts)
     tracker.flush()
@@ -202,13 +207,15 @@ def _bench_traversal(cfg_base, n_frames=288):
     )
     dev_d = jnp.asarray(depths.astype(np.uint16))
     dev_c = jnp.asarray(rgbs.astype(np.uint8))
-    gather = jax.jit(lambda idx: (dev_d[idx], dev_c[idx]))
-    jax.block_until_ready(gather(jnp.zeros((BATCH,), jnp.int32)))
+    gather = jax.jit(lambda ds, cs, idx: (ds[idx], cs[idx]))
+    jax.block_until_ready(
+        gather(dev_d, dev_c, jnp.zeros((BATCH,), jnp.int32))
+    )
     timed = 0
     t0 = time.perf_counter()
     for k in range(1 + BATCH, n_frames - BATCH + 1, BATCH):
         idx = jnp.arange(k, k + BATCH, dtype=jnp.int32)
-        d_b, c_b = gather(idx)
+        d_b, c_b = gather(dev_d, dev_c, idx)
         tracker.process_batch_device(d_b, c_b, [i * 33333 for i in range(k, k + BATCH)])
         timed += BATCH
     tracker.flush()

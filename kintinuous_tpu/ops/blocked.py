@@ -75,12 +75,29 @@ def blocked_to_dense(arr: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def slab_to_dense(arr: jnp.ndarray, axis: int, b0, n_blocks: int) -> jnp.ndarray:
+# Even (orientation-preserving) axis permutations for the band-leading
+# slab layout: VIEW_AXES[axis][k] = volume-axis index of view coordinate
+# k in (vx, vy, vz); the band axis is always vz (the leading array dim),
+# so the thin extent never lands on the 128-lane minor dim (a 19-lane
+# x-band box ran 6.7x memory-inflated). Cyclic -> det +1, so mesh
+# winding from a view is unchanged.
+VIEW_AXES = {0: (1, 2, 0), 1: (2, 0, 1), 2: (0, 1, 2)}
+# volume coordinate a lives in view column VIEW_INV[axis][a]
+VIEW_INV = {0: (2, 0, 1), 1: (1, 2, 0), 2: (0, 1, 2)}
+
+
+def slab_to_dense(arr: jnp.ndarray, axis: int, b0, n_blocks: int,
+                  leading: bool = False) -> jnp.ndarray:
     """Densify only `n_blocks` block-planes along a volume axis.
 
     axis: 0=x, 1=y, 2=z (volume axes); b0: TRACED block index of the
     slab's lower plane. Returns dense [z,y,x] with the sliced axis
     n_blocks*BLOCK voxels and the other two at full resolution.
+
+    leading=True instead returns the slab with the sliced axis FIRST
+    under the even permutation VIEW_AXES[axis] (axis 0 -> [x,z,y],
+    axis 1 -> [y,x,z], axis 2 -> [z,y,x]), keeping the two full-res
+    axes on the (sublane, lane) tile dims.
 
     Shift-frame band extraction uses this instead of a full
     blocked_to_dense: the reference's extraction also touches only the
@@ -94,11 +111,18 @@ def slab_to_dense(arr: jnp.ndarray, axis: int, b0, n_blocks: int) -> jnp.ndarray
     dim = {0: 2, 1: 1, 2: 0}[axis]
     g = jax.lax.dynamic_slice_in_dim(g, b0, n_blocks, axis=dim)
     nbz, nby, nbx = g.shape[:3]
-    return (
-        g.reshape(nbz, nby, nbx, BLOCK, BLOCK, BLOCK)
-        .transpose(0, 3, 1, 4, 2, 5)
-        .reshape(nbz * BLOCK, nby * BLOCK, nbx * BLOCK)
-    )
+    g6 = g.reshape(nbz, nby, nbx, BLOCK, BLOCK, BLOCK)  # [bz,by,bx,dz,dy,dx]
+    if leading:
+        order = {
+            0: (2, 5, 0, 3, 1, 4),  # [x, z, y]
+            1: (1, 4, 2, 5, 0, 3),  # [y, x, z]
+            2: (0, 3, 1, 4, 2, 5),  # [z, y, x]
+        }[axis]
+    else:
+        order = (0, 3, 1, 4, 2, 5)
+    t = g6.transpose(*order)
+    s = t.shape
+    return t.reshape(s[0] * s[1], s[2] * s[3], s[4] * s[5])
 
 
 def flat_index(R: int, pz, py, px):

@@ -451,30 +451,45 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             # the departing edge (ops/blocked.slab_to_dense) instead of
             # the whole volume — the reference extraction is band-sized
             # too (extract.cu:325-419); a full blocked_to_dense at 512^3
-            # moved ~2 GB per shift frame (VERDICT r2 weak #3)
+            # moved ~2 GB per shift frame (VERDICT r2 weak #3). The slab
+            # comes out band-axis-LEADING (even permutation) so the thin
+            # band extent never sits on the 128-lane minor dim.
+            from kintinuous_tpu.ops.blocked import VIEW_AXES, VIEW_INV
+
             SLAB_B = max(2, -(-(S + OV + 1) // 8))  # block-planes
             B_grid = R // 8
             vc, fc = cfg.mesh_vertex_capacity, cfg.mesh_face_capacity
 
-            def one_axis(v, axis, size_xyz):
+            def one_axis(v, axis):
                 s = shift[axis]
+                va = VIEW_AXES[axis]  # volume axis of view (vx, vy, vz)
+                inv = list(VIEW_INV[axis])  # view column of volume (x,y,z)
+                # band rides view-z; the other two view axes are full-res
+                size_view = (R, R, S + OV)
 
                 def ex(_):
                     b0 = jnp.where(s > 0, 0, B_grid - SLAB_B).astype(jnp.int32)
                     view = VolumeState(
-                        tsdf=slab_to_dense(v.tsdf, axis, b0, SLAB_B),
-                        cw=slab_to_dense(v.cw, axis, b0, SLAB_B),
-                        wrap=jnp.zeros(3, jnp.int32), origin=v.origin,
+                        tsdf=slab_to_dense(v.tsdf, axis, b0, SLAB_B,
+                                           leading=True),
+                        cw=slab_to_dense(v.cw, axis, b0, SLAB_B,
+                                         leading=True),
+                        wrap=jnp.zeros(3, jnp.int32),
+                        origin=v.origin[jnp.array(va)],
                     )
-                    lo = jnp.zeros(3, jnp.int32).at[axis].set(
+                    lo = jnp.zeros(3, jnp.int32).at[2].set(
                         jnp.where(s > 0, 0, SLAB_B * 8 - S - OV)
                     )
-                    coff = jnp.zeros(3, jnp.int32).at[axis].set(b0 * 8)
-                    pts = extract_points(view, lo, size_xyz, vsz, cap,
+                    coff = jnp.zeros(3, jnp.int32).at[2].set(b0 * 8)
+                    pts = extract_points(view, lo, size_view, vsz, cap,
                                          clamp_edges=True, coord_offset=coff)
+                    pts = pts._replace(points=pts.points[:, inv])
                     if cfg.incremental_mesh:
-                        m = extract_mesh(view, lo, size_xyz, vsz, vc, fc,
+                        m = extract_mesh(view, lo, size_view, vsz, vc, fc,
                                          clamp_edges=True, coord_offset=coff)
+                        # even permutation: winding already correct
+                        m = m._replace(vertices=m.vertices[:, inv],
+                                       cells=m.cells[:, inv])
                         return pts, m
                     return pts, 0
 
@@ -485,11 +500,7 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
 
                 return jax.lax.cond(s != 0, ex, no, 0)
 
-            per_axis = (
-                one_axis(vol, 0, (S + OV, R, R)),
-                one_axis(vol, 1, (R, S + OV, R)),
-                one_axis(vol, 2, (R, R, S + OV)),
-            )
+            per_axis = (one_axis(vol, 0), one_axis(vol, 1), one_axis(vol, 2))
             slices = tuple(p[0] for p in per_axis)
             if cfg.incremental_mesh:
                 mesh_patches = tuple(p[1] for p in per_axis)

@@ -25,6 +25,7 @@ def seq(tmp_path_factory):
 
 def test_engine_offline_run_and_save(seq, tmp_path):
     path, gt, poses = seq
+    Stopwatch.get().reset()  # the singleton accumulates across tests
     cfg = tiny_test_config(
         camera=CAM, log_file=path, static_mode=True, mesh=True,
         save_file=str(tmp_path / "out"),
