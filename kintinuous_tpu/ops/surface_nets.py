@@ -93,7 +93,6 @@ def extract_mesh(
         w, cr, cg, cb = unpack_cw(
             vol.cw[pz[:, None, None], py[None, :, None], px[None, None, :]]
         )
-    col = jnp.stack([cr, cg, cb], axis=-1)
 
     obs = w >= min_weight
     # corner coordinates (voxel centres) in logical units; use the
@@ -165,26 +164,42 @@ def extract_mesh(
     vy = msum(ex_y, mxf, 0) + msum(ey_y, myf, 1) + msum(ez_y, mzf, 2)
     vz = msum(ex_z, mxf, 0) + msum(ey_z, myf, 1) + msum(ez_z, mzf, 2)
     denom = jnp.maximum(cnt, 1.0)
-    vert_pos = jnp.stack([vx, vy, vz], axis=-1) / denom[..., None]
-    vert_global = vert_pos * voxel_size + vol.origin[None, None, None, :]
-    vert_color = col[:sz, :sy, :sx]  # colour of the cell's base voxel
 
     # --- vertex compaction ----------------------------------------------
+    # one index scatter + per-channel gathers, with every channel kept a
+    # SEPARATE (sz,sy,sx) plane until after compaction — trailing-3
+    # arrays tile to 128 lanes and band-sized scatters run ~4.4
+    # ns/update on TPU (see ops/extract.extract_points)
     n_cells = sz * sy * sx
     vmask = has_vert.reshape(-1)
     vid = jnp.cumsum(vmask.astype(jnp.int32)) - 1  # running index
     vdest = jnp.where(vmask & (vid < vertex_capacity), vid, vertex_capacity)
-    vertices = (
-        jnp.zeros((vertex_capacity, 3), jnp.float32)
-        .at[vdest]
-        .set(vert_global.reshape(n_cells, 3), mode="drop")
-    )
-    colors = (
-        jnp.zeros((vertex_capacity, 3), jnp.float32)
-        .at[vdest]
-        .set(vert_color.reshape(n_cells, 3), mode="drop")
-    )
     n_vertices = jnp.minimum(vmask.sum(), vertex_capacity).astype(jnp.int32)
+    vsrc = jnp.zeros((vertex_capacity,), jnp.int32).at[vdest].set(
+        jnp.arange(n_cells, dtype=jnp.int32), mode="drop"
+    )
+    vvalid = jnp.arange(vertex_capacity) < n_vertices
+
+    def vcompact(plane, fill=0.0):
+        flat = jnp.broadcast_to(plane, (sz, sy, sx)).reshape(n_cells)
+        return jnp.where(vvalid, flat[vsrc], fill)
+
+    vertices = jnp.stack(
+        [
+            vcompact(vx / denom * voxel_size + vol.origin[0]),
+            vcompact(vy / denom * voxel_size + vol.origin[1]),
+            vcompact(vz / denom * voxel_size + vol.origin[2]),
+        ],
+        axis=-1,
+    )
+    colors = jnp.stack(
+        [
+            vcompact(cr[:sz, :sy, :sx]),
+            vcompact(cg[:sz, :sy, :sx]),
+            vcompact(cb[:sz, :sy, :sx]),
+        ],
+        axis=-1,
+    )
     vid_grid = jnp.where(has_vert, vid.reshape(sz, sy, sx), -1)
 
     # global integer cell identity: origin is always a whole number of
@@ -194,18 +209,16 @@ def extract_mesh(
     gcx = oi[0] + co[0] + lo[0] + jnp.arange(sx, dtype=jnp.int32)
     gcy = oi[1] + co[1] + lo[1] + jnp.arange(sy, dtype=jnp.int32)
     gcz = oi[2] + co[2] + lo[2] + jnp.arange(sz, dtype=jnp.int32)
-    gcells = jnp.stack(
+    cells = jnp.stack(
         [
-            jnp.broadcast_to(gcx[None, None, :], (sz, sy, sx)),
-            jnp.broadcast_to(gcy[None, :, None], (sz, sy, sx)),
-            jnp.broadcast_to(gcz[:, None, None], (sz, sy, sx)),
+            jnp.where(vvalid, jnp.broadcast_to(
+                gcx[None, None, :], (sz, sy, sx)).reshape(n_cells)[vsrc], 0),
+            jnp.where(vvalid, jnp.broadcast_to(
+                gcy[None, :, None], (sz, sy, sx)).reshape(n_cells)[vsrc], 0),
+            jnp.where(vvalid, jnp.broadcast_to(
+                gcz[:, None, None], (sz, sy, sx)).reshape(n_cells)[vsrc], 0),
         ],
         axis=-1,
-    )
-    cells = (
-        jnp.zeros((vertex_capacity, 3), jnp.int32)
-        .at[vdest]
-        .set(gcells.reshape(n_cells, 3), mode="drop")
     )
 
     # --- faces: one quad per sign-changed INTERIOR edge ------------------
@@ -235,27 +248,40 @@ def extract_mesh(
         ok = m & (c00 >= 0) & (c01 >= 0) & (c11 >= 0) & (c10 >= 0)
         return ok, pos, c00, c01, c11, c10
 
-    masks, tris = [], []
+    # face compaction: columns stay separate (M,) arrays and one index
+    # scatter replaces the (M,3)-row scatter (same rationale as the
+    # vertex compaction above — the edge-entry count is ~6x n_cells)
+    masks, f0s, f1s, f2s = [], [], [], []
     for axis in range(3):
         ok, pos, c00, c01, c11, c10 = quads(axis)
         okf = ok.reshape(-1)
         posf = pos.reshape(-1)
         a, b, c, d = [x.reshape(-1) for x in (c00, c01, c11, c10)]
-        # winding flips with crossing direction
-        t1 = jnp.where(posf[:, None], jnp.stack([a, b, c], 1), jnp.stack([a, c, b], 1))
-        t2 = jnp.where(posf[:, None], jnp.stack([a, c, d], 1), jnp.stack([a, d, c], 1))
-        masks.append(okf)
-        masks.append(okf)
-        tris.append(t1)
-        tris.append(t2)
+        # winding flips with crossing direction:
+        # tri1 = (a,b,c) | (a,c,b);  tri2 = (a,c,d) | (a,d,c)
+        masks += [okf, okf]
+        f0s += [a, a]
+        f1s += [jnp.where(posf, b, c), jnp.where(posf, c, d)]
+        f2s += [jnp.where(posf, c, b), jnp.where(posf, d, c)]
     fmask = jnp.concatenate(masks)
-    ftris = jnp.concatenate(tris, axis=0)
+    f0 = jnp.concatenate(f0s)
+    f1 = jnp.concatenate(f1s)
+    f2 = jnp.concatenate(f2s)
     fid = jnp.cumsum(fmask.astype(jnp.int32)) - 1
     fdest = jnp.where(fmask & (fid < face_capacity), fid, face_capacity)
-    faces = (
-        jnp.zeros((face_capacity, 3), jnp.int32).at[fdest].set(ftris, mode="drop")
-    )
     n_faces = jnp.minimum(fmask.sum(), face_capacity).astype(jnp.int32)
+    fsrc = jnp.zeros((face_capacity,), jnp.int32).at[fdest].set(
+        jnp.arange(fmask.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    fvalid = jnp.arange(face_capacity) < n_faces
+    faces = jnp.stack(
+        [
+            jnp.where(fvalid, f0[fsrc], 0),
+            jnp.where(fvalid, f1[fsrc], 0),
+            jnp.where(fvalid, f2[fsrc], 0),
+        ],
+        axis=-1,
+    )
 
     return MeshResult(
         vertices=vertices, colors=colors, faces=faces,
