@@ -255,6 +255,8 @@ def _bench_traversal(cfg_base, n_frames=288):
         ),
         "traversal_slices": len(tr.slices),
         "traversal_loops_accepted": engine.deformation.n_loops_accepted,
+        "traversal_loops_rejected": engine.deformation.n_loops_rejected,
+        "traversal_pr_gates": dict(engine.place_rec.gate_stats),
         # tracking health: min ICP inliers over the walk — a lost-track
         # run reports garbage ATE, this makes it visible in the JSON
         "traversal_icp_min": float(min(tr.stats["icp_count"][2:], default=0.0)),

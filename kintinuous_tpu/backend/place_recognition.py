@@ -228,6 +228,11 @@ class PlaceRecognition:
         self._pending_desc: List[np.ndarray] = []
         self._last_loop_time_us = -int(1e18)
         self._recent_window = cfg.pr_recent_window
+        # per-gate rejection counters (debugging loop recall at scale)
+        self.gate_stats = {
+            "keyframes": 0, "no_candidate": 0, "nss": 0, "throttle": 0,
+            "ring": 0, "matches": 0, "inliers": 0, "icp": 0, "accepted": 0,
+        }
 
     def _ensure_db(self):
         if self.db is None:
@@ -284,6 +289,7 @@ class PlaceRecognition:
             self.keyframes = self.keyframes[-PR_RING:]
         self._pending_desc.append(desc)
 
+        self.gate_stats["keyframes"] += 1
         if not self._ensure_db():
             return None
         words = self.vocab.quantise(desc)
@@ -293,6 +299,7 @@ class PlaceRecognition:
         self.db.add(words)
 
         if cand_id < 0:
+            self.gate_stats["no_candidate"] += 1
             return None
         # nss-style normalisation against the previous keyframe's score
         prev = self.keyframes[-2] if len(self.keyframes) >= 2 else None
@@ -304,15 +311,19 @@ class PlaceRecognition:
         else:
             nss = 0.0
         if nss < self.cfg.pr_nss_alpha:
+            self.gate_stats["nss"] += 1
             return None
         # loop throttle (PlaceRecognition.cpp:118-123)
         if timestamp_us - self._last_loop_time_us < self.cfg.loop_throttle_s * 1e6:
+            self.gate_stats["throttle"] += 1
             return None
         base = self._next_kf_id - len(self.keyframes)
         if cand_id < base:  # candidate fell off the ring
+            self.gate_stats["ring"] += 1
             return None
         constraint = self._verify(self.keyframes[cand_id - base], kf)
         if constraint is not None:
+            self.gate_stats["accepted"] += 1
             self._last_loop_time_us = timestamp_us
             self.constraints.append(constraint)
         return constraint
@@ -327,13 +338,16 @@ class PlaceRecognition:
         ok = np.isfinite(p1).all(axis=1) & np.isfinite(p2).all(axis=1)
         p1, p2 = p1[ok], p2[ok]
         if len(p1) < cfg.loop_min_matches:  # >= 40 gate (:152)
+            self.gate_stats["matches"] += 1
             return None
         # T maps frame-2 camera points into frame-1 camera frame
         T, inl = umeyama_ransac(p2, p1)
         if inl.sum() < 3 or inl.sum() / len(p1) < cfg.inlier_ratio:  # (:179)
+            self.gate_stats["inliers"] += 1
             return None
         T_ref, score = verification_icp(self.cam, kf1.depth_m, kf2.depth_m, T)
         if score > cfg.loop_icp_score:  # < 0.01 gate (:191-196)
+            self.gate_stats["icp"] += 1
             return None
         return LoopConstraint(
             time1=kf1.timestamp_us,

@@ -870,11 +870,15 @@ class Tracker:
             self._consume_batch(*self._pending_batches.popleft())
 
     def _consume_batch(self, ys, acc, accm, accf, slots, ts_list, B) -> None:
-        poses_g, shifts, counts, resids, hits, fallbacks = jax.device_get(
-            (ys[0], ys[1], ys[2], ys[3], ys[4], ys[5])
+        # ONE round trip for scalars (incl. per-slot counts); slice data
+        # follows in a second combined fetch below
+        (poses_g, shifts, counts, resids, hits, fallbacks, accf_h, slots_h,
+         cnts_h) = jax.device_get(
+            (ys[0], ys[1], ys[2], ys[3], ys[4], ys[5], accf, slots,
+             tuple(acc[a].count for a in range(3)))
         )
-        accf_h = np.asarray(accf)  # (3, K) frame index per filled slot
-        slots_h = np.asarray(slots)  # (3,) shifts seen per axis
+        accf_h = np.asarray(accf_h)  # (3, K) frame index per filled slot
+        slots_h = np.asarray(slots_h)  # (3,) shifts seen per axis
         K = accf_h.shape[1]
         for k, ts in enumerate(ts_list):
             self.poses.append(np.asarray(poses_g[k]))
@@ -888,23 +892,30 @@ class Tracker:
         dropped = int(np.maximum(slots_h - K, 0).sum())
         if dropped:
             self.stats.setdefault("batch_slices_dropped", []).append(dropped)
-        # emit filled slots in frame order across axes
+        # emit filled slots in frame order across axes; ONE combined
+        # device_get for every filled slot's payload
         pend = sorted(
             (int(accf_h[axis, sl]), axis, sl)
             for axis in range(3)
             for sl in range(K)
-            if accf_h[axis, sl] >= 0
+            if accf_h[axis, sl] >= 0 and int(cnts_h[axis][sl]) > 0
         )
+        fetch = []
         for fidx, axis, slot in pend:
-            res = jax.tree_util.tree_map(lambda x: x[slot], acc[axis])
-            cnt = int(res.count)
-            if cnt == 0:
-                continue
+            cnt = int(cnts_h[axis][slot])
+            res = acc[axis]
+            fetch += [
+                res.points[slot, :cnt], res.colors[slot, :cnt],
+                res.weights[slot, :cnt],
+            ]
+        data = jax.device_get(fetch) if fetch else []
+        for k, (fidx, axis, slot) in enumerate(pend):
+            pts, cols, wgts = data[3 * k], data[3 * k + 1], data[3 * k + 2]
             s = int(np.asarray(shifts[fidx])[axis])
             sl = CloudSlice(
-                points=np.asarray(res.points[:cnt]),
-                colors=np.clip(np.asarray(res.colors[:cnt]), 0, 255).astype(np.uint8),
-                weights=np.asarray(res.weights[:cnt]),
+                points=np.asarray(pts),
+                colors=np.clip(np.asarray(cols), 0, 255).astype(np.uint8),
+                weights=np.asarray(wgts),
                 dimension=_AXIS_DIM[(axis, 1 if s > 0 else -1)],
                 pose=np.asarray(poses_g[fidx]),
                 timestamp_us=ts_list[fidx],
@@ -944,28 +955,44 @@ class Tracker:
             self._consume_batch(*self._pending_batches.popleft())
 
     def _consume(self, out: StepOutputs, timestamp_us: int, frame_idx: int) -> None:
-        pose_g = np.asarray(out.pose_global)
+        # ONE device_get for every scalar (a tunnelled device costs a
+        # full round trip per fetch — ten separate fetches per frame
+        # made the per-frame engine loop ~10x slower than the step)
+        pose_g, shift, cnt3, icp_c, icp_r, fb = jax.device_get((
+            out.pose_global, out.shift,
+            tuple(s.count for s in out.slices),
+            out.icp_count, out.icp_residual, out.raycast_fallback,
+        ))
+        pose_g = np.asarray(pose_g)
         self.poses.append(pose_g)
         self.stamps_us.append(timestamp_us)
         if self.pose_callback:
             self.pose_callback(timestamp_us, pose_g)
-        self.stats["icp_count"].append(float(out.icp_count))
-        self.stats["icp_residual"].append(float(out.icp_residual))
-        self.stats["raycast_fallback"].append(float(out.raycast_fallback))
-        shift = np.asarray(out.shift)
+        self.stats["icp_count"].append(float(icp_c))
+        self.stats["icp_residual"].append(float(icp_r))
+        self.stats["raycast_fallback"].append(float(fb))
+        shift = np.asarray(shift)
         self.shift_log.append(shift)
+        # second (and last) round trip: all slice/mesh payloads together
+        fetch = []
+        meta = []
         for axis in range(3):
             s = int(shift[axis])
-            if s == 0:
+            cnt = int(cnt3[axis])
+            if s == 0 or cnt == 0:
                 continue
             res = out.slices[axis]
-            cnt = int(res.count)
-            if cnt == 0:
-                continue
+            fetch += [res.points[:cnt], res.colors[:cnt], res.weights[:cnt]]
+            meta.append((axis, s, cnt))
+        if not fetch:
+            return
+        data = jax.device_get(fetch)
+        for k, (axis, s, cnt) in enumerate(meta):
+            pts, cols, wgts = data[3 * k], data[3 * k + 1], data[3 * k + 2]
             sl = CloudSlice(
-                points=np.asarray(res.points[:cnt]),
-                colors=np.clip(np.asarray(res.colors[:cnt]), 0, 255).astype(np.uint8),
-                weights=np.asarray(res.weights[:cnt]),
+                points=np.asarray(pts),
+                colors=np.clip(np.asarray(cols), 0, 255).astype(np.uint8),
+                weights=np.asarray(wgts),
                 dimension=_AXIS_DIM[(axis, 1 if s > 0 else -1)],
                 pose=pose_g,
                 timestamp_us=timestamp_us,
