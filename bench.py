@@ -202,6 +202,10 @@ def _bench_traversal(cfg_base, n_frames=288):
 
     # --- C1: traversal fps, frontend only, device-resident -----------
     tracker = Tracker(cfg)
+    # fps pass: don't download slice payloads through the dev tunnel
+    # (~20 MB/batch at ~32 MB/s would benchmark the tunnel; production
+    # PCIe moves them in ~1 ms). C2 below collects everything.
+    tracker.collect_slices = False
     tracker.process_frames(
         [(depths[i], rgbs[i], i * 33333) for i in range(1 + BATCH)]
     )
@@ -227,15 +231,14 @@ def _bench_traversal(cfg_base, n_frames=288):
     RESULTS["traversal_shift_events_frontend"] = n_shift
 
     # --- C2: full pipeline accuracy (untimed; tunnel-fed klg) --------
-    # per-frame: the batched wrapper keeps ONE shift per axis per batch,
-    # and this walk shifts on ~1 in 3 frames — batched dispatch would
-    # silently drop most slices. The per-frame programs are compiled by
-    # config A's warmup; with band-local extraction a shift frame costs
-    # milliseconds, so the 288-frame engine run stays in budget.
+    # batched at the shared batch size: per-frame dispatch costs a
+    # tunnel round trip per frame (~13 min for 288 frames); the K-slot
+    # accumulator (cfg.batch_shift_slots) keeps up to 8 shifts per axis
+    # per batch, and any overflow is counted and exported below.
     cfg_e = cfg.replace(
         log_file=log, online_deformation=True, loop_throttle_s=0.0,
         place_rec_motion_thresh=0.15, save_file=f"{CACHE_DIR}/bench_out",
-        offline_batched=False,
+        offline_batched=True, offline_batch_size=BATCH,
     )
     engine = SlamEngine(cfg_e).run()
     mark("C2 engine run done")
@@ -257,6 +260,9 @@ def _bench_traversal(cfg_base, n_frames=288):
         "traversal_loops_accepted": engine.deformation.n_loops_accepted,
         "traversal_loops_rejected": engine.deformation.n_loops_rejected,
         "traversal_pr_gates": dict(engine.place_rec.gate_stats),
+        "traversal_slices_dropped": int(
+            sum(tr.stats.get("batch_slices_dropped", []))
+        ),
         # tracking health: min ICP inliers over the walk — a lost-track
         # run reports garbage ATE, this makes it visible in the JSON
         "traversal_icp_min": float(min(tr.stats["icp_count"][2:], default=0.0)),

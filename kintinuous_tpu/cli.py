@@ -107,6 +107,17 @@ def build_config(argv) -> KintinuousConfig:
         help="blocked fast path: sparse TSDF updates + warm raycast + batched dispatch",
     )
     p.add_argument(
+        "--profile-dir", dest="profile_dir", type=str, default=None,
+        help="write a jax.profiler trace of the run to this directory "
+             "(view with TensorBoard / Perfetto)",
+    )
+    p.add_argument(
+        "--dump-tsdf", dest="dump_tsdf", type=str, default=None,
+        help="save the raw TSDF volume (tsdf + packed color/weight + "
+             "origin) to this .npz at exit — the reference's debug "
+             "voxel-grid dump (TSDFVolume.cpp:203-227)",
+    )
+    p.add_argument(
         "--devices", dest="devices", type=int, default=1,
         help="shard the volume into z-slabs over N chips (ICI mesh)",
     )
@@ -168,13 +179,23 @@ def build_config(argv) -> KintinuousConfig:
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    viz_port = None
-    if "--viz-port" in argv:
-        i = argv.index("--viz-port")
-        viz_port = int(argv[i + 1])
+
+    def strarg(flag):
+        if flag in argv:
+            return argv[argv.index(flag) + 1]
+        return None
+
+    viz_port = strarg("--viz-port")
+    viz_port = int(viz_port) if viz_port is not None else None
+    profile_dir = strarg("--profile-dir")
+    dump_tsdf = strarg("--dump-tsdf")
     cfg = build_config(argv)
     from kintinuous_tpu.runtime.engine import SlamEngine
 
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     engine = SlamEngine(cfg)
     viewer = None
     if viz_port is not None:
@@ -192,6 +213,22 @@ def main(argv=None):
     engine.run(progress=progress)
     print()
     outputs = engine.save()
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace: {profile_dir}")
+    if dump_tsdf:
+        import numpy as np
+
+        vol = engine.tracker.state.vol
+        np.savez_compressed(
+            dump_tsdf,
+            tsdf=np.asarray(vol.tsdf), cw=np.asarray(vol.cw),
+            wrap=np.asarray(vol.wrap), origin=np.asarray(vol.origin),
+            blocked=np.asarray(engine.cfg.fast_mode),
+        )
+        print(f"saved tsdf dump: {dump_tsdf}")
     for kind, path in outputs.items():
         print(f"saved {kind}: {path}")
     stats = engine.sw.stats()

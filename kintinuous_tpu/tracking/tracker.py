@@ -762,7 +762,12 @@ class Tracker:
         self.stats = {
             "icp_count": [], "icp_residual": [], "raycast_fallback": [],
         }
-        self.shift_log: List[np.ndarray] = []  # per-frame (3,) voxel shifts
+        self.shift_log: List[np.ndarray] = []
+        # False skips downloading slice payloads in the consume path
+        # (poses/stats still materialise) — for timed throughput passes
+        # on a tunnelled device, where a ~MB/s link would otherwise be
+        # what gets benchmarked; production keeps this True
+        self.collect_slices: bool = True  # per-frame (3,) voxel shifts
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -894,6 +899,8 @@ class Tracker:
             self.stats.setdefault("batch_slices_dropped", []).append(dropped)
         # emit filled slots in frame order across axes; ONE combined
         # device_get for every filled slot's payload
+        if not self.collect_slices:
+            return
         pend = sorted(
             (int(accf_h[axis, sl]), axis, sl)
             for axis in range(3)
@@ -974,6 +981,8 @@ class Tracker:
         shift = np.asarray(shift)
         self.shift_log.append(shift)
         # second (and last) round trip: all slice/mesh payloads together
+        if not self.collect_slices:
+            return
         fetch = []
         meta = []
         for axis in range(3):
