@@ -60,6 +60,9 @@ class MapDeformation:
         self._raw_pose: Dict[int, np.ndarray] = {}
         self.n_loops_accepted = 0
         self.n_loops_rejected = 0
+        # per-attempt record: times, chi2 after the gated optimise,
+        # accepted — the debugging surface for the isam_thresh gate
+        self.loop_log: List[dict] = []
         # add_frame_pose runs on the frame loop, add_slice on the slice
         # worker, add_loop on the PR worker — the reference serialises
         # these through the Deformation thread's mailbox
@@ -159,6 +162,11 @@ class MapDeformation:
         old_positions = {k: self.graph.poses[k].copy() for k in range(len(self.graph.poses))}
         fid = self.graph.add_loop(t1, t2, c.T_1_2)
         residual = self.graph.optimise(iters=10)
+        self.loop_log.append({
+            "t1": int(t1), "t2": int(t2), "chi2": float(residual),
+            "n_nodes": len(self.graph.poses),
+            "accepted": residual <= self.cfg.isam_thresh,
+        })
         if residual > self.cfg.isam_thresh:  # (:256,336-343)
             self.graph.remove_factor(fid)
             for k, P in old_positions.items():

@@ -53,11 +53,13 @@ def _region_extents(R: int) -> Tuple[int, int, int]:
     128-aligned window wherever it lands. z/y extents must cover the
     window span (~11 voxels at default trunc) + the tile's angular
     spread (~8 voxels/side at 3 m) + the tile's depth spread; PIXELS
-    whose taps leave the (bbox-centred) region fall back to measurement
-    maps for a frame. 64^2x256 bf16 = 2 MB of VMEM — well within
-    budget, and the extra block-rows cut the orbit fallback fraction
-    vs the earlier 48^2 region (VERDICT r2 next-round #10)."""
-    return min(64, R), min(64, R), min(256, R)
+    whose taps leave the (median-centred) region fall back to
+    measurement maps for a frame. Measured at 512^3 (single orbit
+    frame): 48^2 -> 10.96 ms / 7.5% fallback, 56^2 -> 12.49 / 7.0%,
+    64^2 -> 14.13 / 6.3% — the region size buys little once the centre
+    is the per-pixel-segment median, so the smallest wins the 30 Hz
+    budget."""
+    return min(48, R), min(48, R), min(256, R)
 
 
 def _deblock_kernel(in_ref, s_ref, e_ref, out_ref, *, byh: int, B: int):
