@@ -406,6 +406,15 @@ tunnel-fed. Phases completed: {', '.join(r['phases_done']) or 'none'}.
 Pallas raycast measurement-fallback fraction (orbit, in-volume rays):
 {g('pallas_fallback_frac', '{:.4f}')}.
 
+Traversal context: 288-frame out-and-back corridor walk at 30 Hz-
+realistic motion (~5 cm / ~3 deg per frame), 8 m round trip, 2 mm depth
+noise, dynamic cube (-dc). Loop gates use isam_thresh=30 calibrated for
+this noise regime (genuine revisit loops settle at pose-graph chi2
+16-29; aliased-pillar false matches at 67-132 and are rejected — see
+traversal_pr_gates / loop diagnostics in the bench JSON). Only the walk
+endpoints are loop-closable by construction: the return leg views every
+corridor position from the opposite direction.
+
 Per-stage device time at production shapes (ms, jitted separately —
 the fused step overlaps some of these):
 
