@@ -485,33 +485,45 @@ def make_fast_sharded_step(cfg: KintinuousConfig, mesh: Mesh,
                 prev_hw = state.rgbd.intensity[l].shape
                 vp, np_ = pred_pyr[l]
 
-                def body(_, carry):
-                    T, _, _ = carry
-                    rgbs = rgb_system(
-                        cam_l, T, vc_blk, int_blk, tex_prev, prev_hw, mg2,
-                        max_depth_delta=cfg.rgbd_max_depth_delta,
-                        axis_name="z",
-                    )
-                    rgbs = GNSystem(*[jax.lax.psum(x, "z") for x in rgbs])
-                    A, b = rgbs.A, rgbs.b
-                    if use_icp_term:
-                        icp = icp_step(
-                            cam_l, T, vc_blk, nc_blk, vp, np_,
-                            cfg.icp_dist_thresh, sin_t,
+                def make_body(bilinear):
+                    def body(_, carry):
+                        T, _, _ = carry
+                        rgbs = rgb_system(
+                            cam_l, T, vc_blk, int_blk, tex_prev, prev_hw, mg2,
+                            max_depth_delta=cfg.rgbd_max_depth_delta,
+                            axis_name="z", bilinear=bilinear,
                         )
-                        icp = GNSystem(*[jax.lax.psum(x, "z") for x in icp])
-                        s_rgb = 1.0 / (jnp.trace(A) + 1e-12)
-                        s_icp = 1.0 / (jnp.trace(icp.A) + 1e-12)
-                        A = s_rgb * A + w2 * s_icp * icp.A
-                        b = s_rgb * b + w2 * s_icp * icp.b
-                    xi, ok = solve_gn(A, b)
-                    ok = ok & (rgbs.count >= 30.0)
-                    T_new = se3.exp_se3(xi) @ T
-                    T = jnp.where(ok, T_new, T)
-                    return T, rgbs.count, rgbs.residual
+                        rgbs = GNSystem(*[jax.lax.psum(x, "z") for x in rgbs])
+                        A, b = rgbs.A, rgbs.b
+                        if use_icp_term:
+                            icp = icp_step(
+                                cam_l, T, vc_blk, nc_blk, vp, np_,
+                                cfg.icp_dist_thresh, sin_t,
+                            )
+                            icp = GNSystem(*[jax.lax.psum(x, "z") for x in icp])
+                            s_rgb = 1.0 / (jnp.trace(A) + 1e-12)
+                            s_icp = 1.0 / (jnp.trace(icp.A) + 1e-12)
+                            A = s_rgb * A + w2 * s_icp * icp.A
+                            b = s_rgb * b + w2 * s_icp * icp.b
+                        xi, ok = solve_gn(A, b)
+                        ok = ok & (rgbs.count >= 30.0)
+                        T_new = se3.exp_se3(xi) @ T
+                        T = jnp.where(ok, T_new, T)
+                        return T, rgbs.count, rgbs.residual
 
+                    return body
+
+                # nearest-neighbour texture taps for the coarse phase,
+                # bilinear for the final 2 (ops/rgbd.rgbd_icp_odometry)
+                n_coarse = max(it - 2, 0)
+                if n_coarse:
+                    T, icp_count, icp_res = jax.lax.fori_loop(
+                        0, n_coarse, make_body(False),
+                        (T, icp_count, icp_res),
+                    )
                 T, icp_count, icp_res = jax.lax.fori_loop(
-                    0, it, body, (T, icp_count, icp_res)
+                    0, it - n_coarse, make_body(True),
+                    (T, icp_count, icp_res),
                 )
             # 0.3 m jump guard (RGBDOdometry.cpp:383-387)
             jump = jnp.linalg.norm(T[:3, 3])
