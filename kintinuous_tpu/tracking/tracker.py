@@ -780,6 +780,15 @@ class Tracker:
         """Feed one frame. depth_mm: (H,W) uint16/float; rgb: (H,W,3)
         uint8 or None. ext_delta replaces on-device odometry (ground
         truth replay) when given; the first frame always uses identity."""
+        # drain any lagged BATCH outputs first: a per-frame call after a
+        # batched dispatch (the offline tail) must not append its
+        # pose/stamp/stats before the preceding batch's — flush() drains
+        # _pending before _pending_batches, so without this the tail's
+        # outputs jumped the queue and every consumer pairing frames
+        # with poses by index (deformation pose graph, PR keyframes,
+        # saved trajectory) got wrong poses for the final frames
+        while self._pending_batches:
+            self._consume_batch(*self._pending_batches.popleft())
         dn = np.asarray(depth_mm)
         d = jnp.asarray(dn if dn.dtype == np.uint16 else dn.astype(np.float32))
         if rgb is None:

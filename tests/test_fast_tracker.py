@@ -193,3 +193,33 @@ def test_batched_multi_shift_slices_match_per_frame():
         oa = np.lexsort((a.points[:, 2], a.points[:, 1], a.points[:, 0]))
         ob = np.lexsort((b.points[:, 2], b.points[:, 1], b.points[:, 0]))
         np.testing.assert_allclose(a.points[oa], b.points[ob], atol=1e-4)
+
+
+def test_tail_after_batch_keeps_frame_order():
+    """A per-frame call issued while a batched dispatch is still lagged
+    in _pending_batches (the offline engine's trailing partial batch)
+    must not append its pose/stamp before the batch's. The old flush
+    order drained the per-frame deque first, so every index-paired
+    consumer (deformation pose graph, PR keyframes, saved trajectory)
+    attached the final frames to wrong poses (ADVICE r3 high)."""
+    cfg = fast_cfg(static_mode=True)
+    poses = orbit_trajectory(12, radius=0.1, angle_deg=5.0)
+    frames = [render_frame(Scene.default(), CAM, T) for T in poses]
+    items = [(d, c, int(i * 1e6 / 30)) for i, (d, c) in enumerate(frames)]
+
+    tr = Tracker(cfg)
+    tr.process_frame(*items[0])
+    tr.flush()
+    up = tr.upload_batch(items[1:9])
+    tr.process_batch_device(*up)  # stays lagged in _pending_batches
+    for it in items[9:]:  # the per-frame tail
+        tr.process_frame(*it)
+    tr.flush()
+    assert tr.stamps_us == [it[2] for it in items], "frame order broken"
+
+    # and the result matches an all-per-frame run
+    pf = Tracker(cfg)
+    for it in items:
+        pf.process_frame(*it)
+    pf.flush()
+    np.testing.assert_allclose(tr.poses[-1], pf.poses[-1], atol=1e-5)
