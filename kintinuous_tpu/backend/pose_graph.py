@@ -235,6 +235,36 @@ class PoseGraph:
             b *= 2
         return b
 
+    def chi2(self) -> float:
+        """Total chi2 at the CURRENT poses, no optimisation — the
+        baseline for the delta-chi2 loop gate (deform_runner gates on
+        chi2_after_optimise - chi2_before, which is invariant to how
+        much residual the graph already carries from sensor noise;
+        gating on the absolute total, as round 3 did, forced a
+        per-scenario threshold). Pose state is untouched (optimise's
+        f32 round-trip would erode the f64 poses)."""
+        if not self._fw:
+            return 0.0
+        _, chi2 = self._gn(*self._packed(), 0)
+        return float(chi2)
+
+    def _packed(self):
+        """Factor arrays padded to the bucket size, as jax arrays."""
+        N = len(self.poses)
+        F = len(self._fw)
+        FB = self._bucket(F)
+        fi = np.zeros(FB, np.int32)
+        fj = np.zeros(FB, np.int32)
+        fZ = np.tile(np.eye(4, dtype=np.float32), (FB, 1, 1))
+        fw = np.zeros(FB, np.float32)
+        fi[:F] = self._fi
+        fj[:F] = self._fj
+        fZ[:F] = np.array(self._fZ, np.float32)
+        fw[:F] = self._fw
+        poses = jnp.asarray(np.array(self.poses, np.float32))
+        fZinv = jnp.asarray(np.linalg.inv(fZ).astype(np.float32))
+        return poses, jnp.asarray(fi), jnp.asarray(fj), fZinv, jnp.asarray(fw)
+
     def optimise(self, iters: int = 10) -> float:
         """Batch GN; updates node poses in place; returns TOTAL chi2 —
         the reference's `_slam->chi2()` (iSAMInterface.cpp:136-140),
@@ -253,24 +283,9 @@ class PoseGraph:
         the default gate ~10^3 too loose (never rejecting anything)."""
         if not self._fw:
             return 0.0
-        N = len(self.poses)
-        F = len(self._fw)
-        FB = self._bucket(F)
-        fi = np.zeros(FB, np.int32)
-        fj = np.zeros(FB, np.int32)
-        fZ = np.tile(np.eye(4, dtype=np.float32), (FB, 1, 1))
-        fw = np.zeros(FB, np.float32)
-        fi[:F] = self._fi
-        fj[:F] = self._fj
-        fZ[:F] = np.array(self._fZ, np.float32)
-        fw[:F] = self._fw
-        poses = jnp.asarray(np.array(self.poses, np.float32))
-        fZinv = jnp.asarray(np.linalg.inv(fZ).astype(np.float32))
-        out, chi2 = self._gn(
-            poses, jnp.asarray(fi), jnp.asarray(fj), fZinv, jnp.asarray(fw), iters
-        )
+        out, chi2 = self._gn(*self._packed(), iters)
         out = np.asarray(out, np.float64)
-        for k in range(N):
+        for k in range(len(self.poses)):
             self.poses[k] = out[k]
         return float(chi2)
 

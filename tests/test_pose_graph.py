@@ -82,17 +82,20 @@ def test_bad_loop_raises_chi2_and_removal_restores():
 
 
 def test_isam_thresh_gate_calibrated_at_scale():
-    """The default gate (isam_thresh=10 on TOTAL chi2 — the reference's
-    `residual = _slam->chi2()` semantics, iSAMInterface.cpp:136-140,
-    Deformation.cpp:256) must, on a realistic 200-node corridor graph:
-    accept a drift-consistent loop, accept a small-error loop (~5 cm —
-    the PR verification ICP's job to catch, not this gate's), and
-    reject a grossly wrong (aliased-place) loop."""
+    """The default gate (isam_thresh=10, the reference's
+    Deformation.cpp:256) applied to the chi2 DELTA a candidate loop
+    adds (deform_runner gates chi2_after - chi2_before) must, on a
+    realistic 200-node corridor graph — including a NOISY one whose
+    baseline chi2 alone exceeds the threshold, the regime that forced
+    round 3's scenario-fitted absolute gate: accept a drift-consistent
+    loop, accept a small-error loop (~5 cm — the PR verification ICP's
+    job to catch, not this gate's), and reject a grossly wrong
+    (aliased-place) loop."""
     from kintinuous_tpu.config import KintinuousConfig
 
     thresh = KintinuousConfig().isam_thresh
 
-    def build():
+    def build(noise_t):
         rng = np.random.default_rng(7)
         g = PoseGraph()
         gt = [np.eye(4)]
@@ -100,24 +103,54 @@ def test_isam_thresh_gate_calibrated_at_scale():
         step[0, 3] = 0.05  # 10 m corridor at 5 cm/frame
         g.add_node(0, np.eye(4))
         for i in range(1, 200):
-            noise = exp(rand_twist(rng, 0.0005, 0.002))
+            noise = exp(rand_twist(rng, 0.0005, noise_t))
             g.add_odometry(i - 1, i, step @ noise)
             gt.append(gt[-1] @ step)
         return g, gt
 
-    def chi2_with_loop(err_t, err_r_deg):
-        g, gt = build()
+    def chi2_delta(err_t, err_r_deg, noise_t=0.002):
+        g, gt = build(noise_t)
+        g.optimise(iters=5)
+        before = g.chi2()
         Z = np.linalg.inv(gt[199]) @ gt[0]
         pert = exp(
             np.r_[np.deg2rad(err_r_deg) * np.array([0, 1.0, 0]),
                   err_t * np.array([1.0, 0, 0])]
         )
         g.add_loop(199, 0, Z @ pert)
-        return g.optimise(iters=10)
+        return g.optimise(iters=10) - before, before
 
-    good = chi2_with_loop(0.0, 0.0)
-    small = chi2_with_loop(0.05, 5.0)
-    gross = chi2_with_loop(1.0, 30.0)
-    assert good < thresh, f"drift-consistent loop rejected: chi2={good:.2f}"
+    good, _ = chi2_delta(0.0, 0.0)
+    small, _ = chi2_delta(0.05, 5.0)
+    gross, _ = chi2_delta(1.0, 30.0)
+    assert good < thresh, f"drift-consistent loop rejected: delta={good:.2f}"
     assert small < thresh, f"5cm loop rejected (not this gate's job): {small:.2f}"
-    assert gross > thresh, f"1m/30deg loop accepted: chi2={gross:.2f}"
+    assert gross > thresh, f"1m/30deg loop accepted: delta={gross:.2f}"
+
+    # noisy multi-loop regime: a pure odometry chain always optimises
+    # to chi2 ~0, but once a first loop is accepted the graph carries a
+    # residual floor (loop-vs-odometry redundancy x sensor noise) that
+    # can exceed the threshold on its own — round 3's failure mode,
+    # where the absolute gate then rejected every further loop. The
+    # delta gate judges loop #2 on its own contribution.
+    def second_loop_delta(err_t, err_r_deg):
+        g, gt = build(0.04)
+        Z_mid = np.linalg.inv(gt[120]) @ gt[20]
+        g.add_loop(120, 20, Z_mid)  # accepted loop #1
+        g.optimise(iters=10)
+        before = g.chi2()
+        Z = np.linalg.inv(gt[199]) @ gt[0]
+        pert = exp(
+            np.r_[np.deg2rad(err_r_deg) * np.array([0, 1.0, 0]),
+                  err_t * np.array([1.0, 0, 0])]
+        )
+        g.add_loop(199, 0, Z @ pert)
+        return g.optimise(iters=10) - before, before
+
+    good_n, base_n = second_loop_delta(0.0, 0.0)
+    gross_n, _ = second_loop_delta(1.0, 30.0)
+    assert base_n > thresh, (
+        f"baseline not noisy enough to prove the point: {base_n:.2f}"
+    )
+    assert good_n < thresh, f"noisy-regime genuine loop rejected: {good_n:.2f}"
+    assert gross_n > thresh, f"noisy-regime gross loop accepted: {gross_n:.2f}"
