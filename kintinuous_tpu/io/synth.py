@@ -309,6 +309,147 @@ def walk_loop_trajectory(
     return poses
 
 
+def lap_scene(length: float = 3.2, depth: float = 2.4,
+              half_height: float = 1.5) -> Scene:
+    """A room with a central island for rectangular-lap trajectories
+    (lap_trajectory): the camera circles the island looking along the
+    travel direction, so a second lap revisits every viewpoint the SAME
+    way — the loop-closure-rich regime of the reference's loop.klg demo
+    (README.md:164-206), unlike an out-and-back corridor whose return
+    leg views everything from the opposite direction. Walls carry the
+    same pillar/sphere/box mix as corridor_scene so all 6 ICP DOF stay
+    constrained from every heading."""
+    hh = half_height
+    margin = 1.2  # path rectangle -> outer wall
+    bmin = np.array([-margin, -hh, -margin])
+    bmax = np.array([length + margin, hh, depth + margin])
+    spheres: List[Sphere] = []
+    cuboids: List[Cuboid] = []
+    # central island: a box the lap circles, inset 0.9 m from the path
+    iw = np.array([0.9, -hh, 0.9])
+    ix = np.array([max(length - 0.9, 1.3), hh, max(depth - 0.9, 1.3)])
+    cuboids.append(Cuboid(iw, ix))
+    # island face decorations (one per side) so the inner wall is not a
+    # bare plane sliding under yaw
+    cx, cz = (iw[0] + ix[0]) / 2.0, (iw[2] + ix[2]) / 2.0
+    spheres += [
+        Sphere(np.array([cx, 0.25, iw[2] - 0.18]), 0.22),
+        Sphere(np.array([cx, -0.2, ix[2] + 0.18]), 0.22),
+        Sphere(np.array([iw[0] - 0.18, 0.25, cz]), 0.22),
+        Sphere(np.array([ix[0] + 0.18, -0.2, cz]), 0.22),
+    ]
+
+    def wall_decor(p0, p1, normal_in):
+        """Pillar + floor box + mid sphere along an outer wall from p0
+        to p1 (xz points), protruding inward along normal_in (xz)."""
+        p0 = np.asarray(p0, float)
+        p1 = np.asarray(p1, float)
+        n = np.asarray(normal_in, float)
+        seg = p1 - p0
+        L = np.linalg.norm(seg)
+        d = seg / L
+        s = 0.5
+        k = 0
+        while s < L - 0.3:
+            base = p0 + d * s
+            if k % 2 == 0:
+                # floor-to-ceiling pillar
+                c = base + n * 0.14
+                lo = np.array([c[0] - 0.12, -hh, c[1] - 0.12])
+                hi = np.array([c[0] + 0.12, hh, c[1] + 0.12])
+                cuboids.append(Cuboid(np.minimum(lo, hi), np.maximum(lo, hi)))
+            elif k % 4 == 1:
+                c = base + n * 0.3
+                spheres.append(Sphere(np.array([c[0], 0.3, c[1]]), 0.28))
+            else:
+                # floor box (y is image-down: +y is the floor)
+                c = base + n * 0.35
+                lo = np.array([c[0] - 0.2, hh - 0.45, c[1] - 0.2])
+                hi = np.array([c[0] + 0.2, hh, c[1] + 0.2])
+                cuboids.append(Cuboid(lo, hi))
+            s += 1.1
+            k += 1
+
+    xm, zm = -margin, -margin
+    xM, zM = length + margin, depth + margin
+    wall_decor((xm, zm), (xM, zm), (0, 1))   # z-min wall, faces +z
+    wall_decor((xM, zm), (xM, zM), (-1, 0))  # x-max wall, faces -x
+    wall_decor((xM, zM), (xm, zM), (0, -1))  # z-max wall, faces -z
+    wall_decor((xm, zM), (xm, zm), (1, 0))   # x-min wall, faces +x
+    # a few ceiling spheres for pitch/roll constraint on long sides
+    spheres += [
+        Sphere(np.array([length * 0.3, -(hh - 0.35), zm + 0.5]), 0.25),
+        Sphere(np.array([length * 0.8, -(hh - 0.35), zM - 0.5]), 0.25),
+    ]
+    return Scene(box_min=bmin, box_max=bmax, spheres=spheres, cuboids=cuboids)
+
+
+def lap_trajectory(
+    length: float = 3.2,
+    depth: float = 2.4,
+    step: float = 0.05,
+    turn_frames: int = 28,
+    warmup_frames: int = 10,
+    revisit_frac: float = 0.35,
+    sway: float = 0.03,
+) -> List[np.ndarray]:
+    """Rectangular lap around lap_scene's island, looking along the
+    travel direction, then a partial second lap retracing the first —
+    every revisit frame sees lap 1's viewpoint the same way, giving the
+    place-recognition chain a stretch of genuine loop closures (the
+    operational regime of the reference's loop.klg,
+    README.md:164-206). Corners turn 90 deg over turn_frames
+    (~3.2 deg/frame at 28 — within ICP's per-frame basin).
+
+    Returns the full pose list; frame count follows from geometry
+    (2*(length+depth)/step walking + 4*turn_frames per lap)."""
+
+    def rot_y(theta):
+        c, s = np.cos(theta), np.sin(theta)
+        return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+    # heading theta: view direction = (sin t, 0, cos t).
+    # Segments counter-clockwise in x-z: +x, +z, -x, -z.
+    corners = [np.array([0.0, 0.0]), np.array([length, 0.0]),
+               np.array([length, depth]), np.array([0.0, depth])]
+    headings = [np.pi / 2.0, 0.0, -np.pi / 2.0, -np.pi]
+
+    events = []  # (kind, payload)
+    for i in range(warmup_frames):
+        events.append(("pose", (corners[0], headings[0])))
+    n_laps_frames = 4 + int(np.ceil(4 * revisit_frac))
+    for seg in range(n_laps_frames):
+        s = seg % 4
+        p0, p1 = corners[s], corners[(s + 1) % 4]
+        th = headings[s] - 2.0 * np.pi * (seg // 4)
+        L = np.linalg.norm(p1 - p0)
+        n_walk = max(2, int(round(L / step)))
+        last_seg = seg == n_laps_frames - 1
+        frac_cap = 1.0
+        if last_seg:
+            # stop partway down the final revisit segment
+            frac_cap = max(0.25, (4 * revisit_frac) - (seg - 4) + 0.0)
+            frac_cap = min(1.0, frac_cap)
+        for k in range(n_walk):
+            f = (k + 1) / n_walk
+            if f > frac_cap:
+                break
+            events.append(("pose", (p0 + (p1 - p0) * f, th)))
+        if not last_seg:
+            th_next = th - np.pi / 2.0
+            for k in range(turn_frames):
+                g = (k + 1) / turn_frames
+                events.append(("pose", (p1, th + (th_next - th) * g)))
+
+    poses = []
+    for i, (_, (pxz, th)) in enumerate(events):
+        T = np.eye(4)
+        T[:3, :3] = rot_y(th)
+        T[:3, 3] = [pxz[0], sway * np.sin(0.7 * i), pxz[1]]
+        poses.append(T)
+    return poses
+
+
 def generate_klg(
     path: str,
     cam: CameraIntrinsics,
