@@ -120,11 +120,16 @@ class KintinuousConfig:
     # frames per batched dispatch in the offline engine loop; a trailing
     # partial batch runs per-frame so only ONE batch program compiles
     offline_batch_size: int = 8
-    # extraction-buffer slots PER AXIS carried by one batched dispatch;
-    # a -dc traversal shifts on ~1 in 3 frames, so a 32-frame batch can
-    # see ~10 shifts per axis. Overflow keeps the newest and is counted
-    # in stats["batch_slices_dropped"].
-    batch_shift_slots: int = 8
+    # device pool rows for batched-dispatch slice accumulation: every
+    # shift event appends its extraction (<= extraction_capacity
+    # points) at a running offset, so a batch carries as many shift
+    # events as fit — no fixed per-axis slot count to overflow (round
+    # 3's 8-slot array dropped 24/134 bands on a shift-heavy walk).
+    # Pool exhaustion parks the write and is counted in
+    # stats["batch_slices_dropped"], never silent.
+    batch_slice_pool: int = 3_000_000
+    batch_mesh_vertex_pool: int = 1_600_000
+    batch_mesh_face_pool: int = 3_200_000
 
     # --- shifting ---
     static_mode: bool = False

