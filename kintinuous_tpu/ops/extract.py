@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from kintinuous_tpu.ops.tsdf import VolumeState
@@ -186,7 +187,42 @@ def extract_points(
     py_g = (base_y + off_y / denom) * voxel_size + vol.origin[1]
     pz_g = (base_z + off_z / denom) * voxel_size + vol.origin[2]
 
-    mask = any_cross.reshape(-1)
+    planes = (px_g, py_g, pz_g, cr0, cg0, cb0, w0)
+
+    # Two-stage compaction when the box has a thin axis (a shift band):
+    # the index scatter below costs ~4.4 ns per UPDATE over every cell
+    # of the box, so a 512^2x19 band pays ~36 ms mostly for empty
+    # cells. Collapsing each voxel column along the thin axis first —
+    # cumsum rank + one-hot masked reductions, pure vector ops — leaves
+    # at most COL_CAP candidates per column, shrinking the scatter's
+    # domain ~5x (19 -> 4 per column). A column crossing the surface
+    # more than COL_CAP times inside the thin band (a sheet folding 4+
+    # times within ~22 cm) loses the extras, mirroring the reference's
+    # own fixed-capacity fetch (TSDFVolume.h:72).
+    COL_CAP = 4
+    dims = (sz, sy, sx)
+    thin = int(np.argmin(dims))
+    if dims[thin] > 32 or dims[thin] <= COL_CAP:
+        mask = any_cross.reshape(-1)
+        cands = tuple(
+            jnp.broadcast_to(p, any_cross.shape).reshape(-1) for p in planes
+        )
+    else:
+        rank = jnp.cumsum(any_cross.astype(jnp.int32), axis=thin) - 1
+        sel = (
+            any_cross[None]
+            & (rank[None] == jnp.arange(COL_CAP).reshape(
+                (COL_CAP,) + (1,) * 3))
+        )  # (COL_CAP, sz, sy, sx), <=1 true per (c, column)
+        mask = sel.any(axis=thin + 1).reshape(-1)
+        cands = tuple(
+            jnp.sum(
+                jnp.where(sel, jnp.broadcast_to(p, any_cross.shape)[None], 0.0),
+                axis=thin + 1,
+            ).reshape(-1)
+            for p in planes
+        )
+
     n = mask.shape[0]
     idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
     dest = jnp.where(mask & (idx < capacity), idx, capacity)  # capacity = dropped
@@ -201,11 +237,12 @@ def extract_points(
     )
     valid = jnp.arange(capacity) < count
 
-    def compact(plane):
-        flat = jnp.broadcast_to(plane, any_cross.shape).reshape(n)
+    def compact(flat):
         return jnp.where(valid, flat[src], 0.0)
 
-    points = jnp.stack([compact(px_g), compact(py_g), compact(pz_g)], axis=-1)
-    colors = jnp.stack([compact(cr0), compact(cg0), compact(cb0)], axis=-1)
-    weights = compact(w0)
+    points = jnp.stack([compact(cands[0]), compact(cands[1]),
+                        compact(cands[2])], axis=-1)
+    colors = jnp.stack([compact(cands[3]), compact(cands[4]),
+                        compact(cands[5])], axis=-1)
+    weights = compact(cands[6])
     return ExtractResult(points=points, colors=colors, weights=weights, count=count)

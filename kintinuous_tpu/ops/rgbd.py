@@ -277,22 +277,29 @@ def rgbd_icp_odometry(
         # early iterations sample the previous-frame texture nearest-
         # neighbour (one row gather); only the final FINE iterations pay
         # the 4-gather bilinear — the sub-voxel accuracy only matters
-        # once the warp has converged
-        FINE = 2
+        # once the warp has converged. Coarse iterations additionally
+        # run on every other pixel ROW: the photometric cost is the
+        # gather, and half the rows still over-determine a 6-DoF step
+        # by ~6000x at 320x240 (the bilinear fine pass uses all rows).
+        FINE = 1
         n_coarse = max(iters - FINE, 0)
         n_fine = iters - n_coarse
+        vc_half = vc[:, ::2, :]
+        int_half = curr_rgbd.intensity[l][::2, :]
 
         def run_phase(carry, n_iters, bilinear):
             if n_iters == 0:
                 return carry
             T, count, sigma = carry
+            vc_l = vc if bilinear else vc_half
+            int_l = curr_rgbd.intensity[l] if bilinear else int_half
 
             if pred_pyr is None or reassoc_every <= 1:
                 def body(_, c):
                     T, _, _ = c
                     rgb = rgb_system(
-                        cam_l, T, vc,
-                        curr_rgbd.intensity[l], tex_prev, prev_hw,
+                        cam_l, T, vc_l,
+                        int_l, tex_prev, prev_hw,
                         mg2, bilinear=bilinear,
                     )
                     icp = (
@@ -308,8 +315,8 @@ def rgbd_icp_odometry(
             def inner(_, c):
                 T, _, _, d, n_t, in_img = c
                 rgb = rgb_system(
-                    cam_l, T, vc,
-                    curr_rgbd.intensity[l], tex_prev, prev_hw,
+                    cam_l, T, vc_l,
+                    int_l, tex_prev, prev_hw,
                     mg2, bilinear=bilinear,
                 )
                 icp = icp_build_from_assoc(
