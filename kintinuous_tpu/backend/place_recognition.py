@@ -222,6 +222,12 @@ class PlaceRecognition:
                 vocab = Vocabulary.load(cfg.vocab_file)
         self.vocab = vocab
         self.db: Optional[BowDatabase] = None
+        # global kf id of db index 0: the db is built incrementally from
+        # process start (base 0), but a db REBUILT from the keyframe
+        # ring (checkpoint restore, _ensure_db) starts at the ring's
+        # base — without this offset every candidate id after a resume
+        # past PR_RING keyframes was misindexed (ADVICE r3)
+        self._db_base = 0
         self.keyframes: List[Keyframe] = []
         self._next_kf_id = 0
         self.constraints: List[LoopConstraint] = []
@@ -250,6 +256,7 @@ class PlaceRecognition:
             self.db = BowDatabase(self.vocab)
             for kf in self.keyframes:
                 self.db.add(self.vocab.quantise(kf.descriptors))
+            self._db_base = self._next_kf_id - len(self.keyframes)
         return True
 
     def add_keyframe(
@@ -293,14 +300,19 @@ class PlaceRecognition:
         if not self._ensure_db():
             return None
         words = self.vocab.quantise(desc)
+        # exclusion + candidate ids are GLOBAL kf ids shifted into the
+        # db's index space by _db_base
         cand_id, score = self.db.query(
-            words, exclude_after=len(self.keyframes) - 1 - self._recent_window
+            words,
+            exclude_after=self._next_kf_id - 1 - self._recent_window
+            - self._db_base,
         )
         self.db.add(words)
 
         if cand_id < 0:
             self.gate_stats["no_candidate"] += 1
             return None
+        cand_id += self._db_base
         # nss-style normalisation against the previous keyframe's score
         prev = self.keyframes[-2] if len(self.keyframes) >= 2 else None
         if prev is not None:

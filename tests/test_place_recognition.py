@@ -137,3 +137,48 @@ def test_vocabulary_save_load(tmp_path):
     v2 = Vocabulary.load(str(p))
     np.testing.assert_array_equal(v.centroids, v2.centroids)
     np.testing.assert_array_equal(v.quantise(desc[:10]), v2.quantise(desc[:10]))
+
+
+def test_db_rebuild_after_ring_prune_maps_ids(monkeypatch):
+    """A db rebuilt from the keyframe ring (checkpoint restore) after
+    the ring pruned must still map candidate ids to the right
+    keyframes: db indices are ring-relative after a rebuild but GLOBAL
+    before, so the query/gate logic goes through _db_base (ADVICE r3:
+    without it every post-resume candidate was misindexed or wrongly
+    rejected as 'fell off the ring')."""
+    import kintinuous_tpu.backend.place_recognition as prmod
+
+    monkeypatch.setattr(prmod, "PR_RING", 6)
+    cfg = tiny_test_config(
+        camera=CAM, loop_throttle_s=0.0, loop_min_matches=20,
+        place_rec_motion_thresh=0.0, pr_recent_window=3,
+    )
+    pr = PlaceRecognition(cfg)
+    # distinct viewpoints so BoW doesn't match them to each other
+    poses = []
+    for k in range(10):
+        T = np.eye(4)
+        T[:3, 3] = [0.25 * k - 1.2, 0.0, -0.3]
+        a = 0.25 * k - 1.0
+        T[:3, :3] = np.array(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+        )
+        poses.append(T)
+    for k, T in enumerate(poses):
+        rgb, depth = render(T)
+        pr.add_keyframe(rgb, depth, T, k * 1_000_000)
+    assert len(pr.keyframes) == 6 and pr._next_kf_id == 10  # ring pruned
+
+    # simulate restore: db discarded, lazily rebuilt from the ring
+    pr.db = None
+    pr._db_base = 0
+    assert pr._ensure_db()
+    assert pr._db_base == 4  # ring base in global id space
+
+    # revisit the viewpoint of a keyframe still in the ring (global id
+    # 5): the candidate must resolve to THAT keyframe and verify
+    target = poses[5]
+    rgb, depth = render(target)
+    c = pr.add_keyframe(rgb, depth, target, 99_000_000)
+    assert c is not None, f"revisit not detected after rebuild: {pr.gate_stats}"
+    assert c.time1 == 5_000_000  # matched the correct (global id 5) keyframe
