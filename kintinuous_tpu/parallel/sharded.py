@@ -79,6 +79,10 @@ class ShardedStepOutputs(NamedTuple):
     # fraction of measured pixels the model raycast could not serve
     # (degradation gauge; fast path computes it, dense path reports 0)
     raycast_fallback: jnp.ndarray = 0.0  # () f32
+    # per-axis REPLICATED surface-nets band patches when
+    # cfg.incremental_mesh (fast sharded path; empty otherwise) — the
+    # multi-chip counterpart of tracker.StepOutputs.mesh_patches
+    mesh_patches: Tuple = ()
 
 
 def state_shardings(mesh: Mesh):

@@ -46,9 +46,9 @@ class ShardedTracker:
     def __init__(self, cfg: KintinuousConfig, mesh=None,
                  slice_callback: Optional[Callable[[CloudSlice], None]] = None,
                  mesh_callback=None):
-        if cfg.incremental_mesh:
+        if cfg.incremental_mesh and not cfg.fast_mode:
             raise NotImplementedError(
-                "incremental mesh is single-chip only (use devices=1)"
+                "sharded incremental mesh requires fast_mode"
             )
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else build_mesh(cfg.devices)
@@ -143,6 +143,10 @@ class ShardedTracker:
         device round-trip per batch (fast_mode only; the single-chip
         analogue is Tracker.process_batch_device)."""
         assert self.cfg.fast_mode, "batched sharded dispatch needs fast_mode"
+        assert not self.cfg.incremental_mesh, (
+            "sharded incremental mesh runs per-frame (the multi-chip "
+            "engine path); the batched wrapper does not pool mesh patches"
+        )
         assert self._frame_idx > 0, "first frame must go through process_frame"
         from kintinuous_tpu.parallel.fast_sharded import (
             make_batched_fast_sharded_step,
@@ -282,6 +286,29 @@ class ShardedTracker:
             self.slices.append(sl)
             if self.slice_callback:
                 self.slice_callback(sl)
+            if self.cfg.incremental_mesh and out.mesh_patches:
+                self._take_mesh_patch(out.mesh_patches[axis], timestamp_us)
+
+    def _take_mesh_patch(self, res, timestamp_us: int) -> None:
+        """Replicated per-axis band MeshResult -> host MeshPatch
+        (mirrors tracking.tracker.Tracker._take_mesh_patch)."""
+        from kintinuous_tpu.backend.meshing import MeshPatch
+
+        nv, nf = int(res.n_vertices), int(res.n_faces)
+        if nv == 0 or nf == 0:
+            return
+        patch = MeshPatch(
+            vertices=np.asarray(res.vertices[:nv]),
+            colors=np.clip(np.asarray(res.colors[:nv]), 0, 255).astype(
+                np.uint8
+            ),
+            faces=np.asarray(res.faces[:nf]),
+            timestamp_us=timestamp_us,
+            cells=np.asarray(res.cells[:nv]),
+        )
+        self.mesh_patches.append(patch)
+        if self.mesh_callback:
+            self.mesh_callback(patch)
 
     # ------------------------------------------------------------------
     def finalise(self) -> CloudSlice:
@@ -306,6 +333,17 @@ class ShardedTracker:
         self.slices.append(sl)
         if self.slice_callback:
             self.slice_callback(sl)
+        if self.cfg.incremental_mesh:
+            # whole live-volume mesh patch, welded with the band patches
+            # at save (single-chip finalise parity)
+            from kintinuous_tpu.backend.meshing import mesh_current_volume
+
+            patch = mesh_current_volume(self, self.cfg)
+            if len(patch.vertices):
+                patch.timestamp_us = ts
+                self.mesh_patches.append(patch)
+                if self.mesh_callback:
+                    self.mesh_callback(patch)
         return sl
 
     @property

@@ -243,3 +243,64 @@ def test_weld_seals_patch_seams():
     # keep the union overwhelmingly interior-connected
     assert frac_weld >= frac_concat
     assert frac_weld > 0.9, f"welded mesh still {1-frac_weld:.1%} open edges"
+
+
+def test_sharded_band_patches_match_single_chip():
+    """--devices N -m: the sharded fast step emits the SAME band mesh
+    patches as the single-chip tracker (psum-assembled replicated band
+    box, VERDICT r3 next-round #9), and the welded whole-map .ply
+    saves (band patches + final volume mesh via cell identity)."""
+    import jax
+    from jax.sharding import Mesh
+    from kintinuous_tpu.backend.meshing import MeshCollector, mesh_current_volume
+    from kintinuous_tpu.parallel.tracker import ShardedTracker
+
+    devs = jax.devices()
+    assert len(devs) >= 4
+    mesh = Mesh(np.array(devs[:4]), axis_names=("z",))
+
+    # half-res pixel rows must divide the 4-chip mesh at every level
+    cam = CameraIntrinsics(fx=140.0, fy=140.0, cx=80.0, cy=64.0,
+                           width=160, height=128)
+    cfg = cfg_incr(camera=cam, online_deformation=False, pallas=False)
+    poses = straight_trajectory(25, distance=1.0, axis=0)
+    frames = [render_frame(Scene.default(), cam, T) for T in poses]
+
+    def run(tracker):
+        last = None
+        for i, T in enumerate(poses):
+            delta = (
+                np.linalg.inv(last) @ T if last is not None else np.eye(4)
+            ).astype(np.float32)
+            tracker.process_frame(
+                frames[i][0], frames[i][1], int(i * 1e6 / 30),
+                ext_delta=delta,
+            )
+            last = T
+        tracker.flush()
+        return tracker
+
+    single = run(Tracker(cfg))
+    sharded = run(ShardedTracker(cfg, mesh=mesh))
+    assert len(single.mesh_patches) >= 2, "walk emitted no band patches"
+    assert len(sharded.mesh_patches) == len(single.mesh_patches)
+    for a, b in zip(single.mesh_patches, sharded.mesh_patches):
+        assert len(a.vertices) == len(b.vertices)
+        assert len(a.faces) == len(b.faces)
+        oa = np.lexsort((a.cells[:, 2], a.cells[:, 1], a.cells[:, 0]))
+        ob = np.lexsort((b.cells[:, 2], b.cells[:, 1], b.cells[:, 0]))
+        np.testing.assert_array_equal(a.cells[oa], b.cells[ob])
+        np.testing.assert_allclose(
+            a.vertices[oa], b.vertices[ob], atol=1e-4
+        )
+
+    # welded whole-map save: band patches + final volume mesh
+    sharded.finalise()
+    import tempfile, os
+
+    mc = MeshCollector()
+    for p in sharded.mesh_patches:
+        mc.add(p)
+    out = os.path.join(tempfile.mkdtemp(), "sharded.ply")
+    n = mc.save(out)
+    assert os.path.exists(out) and n > 500
