@@ -162,6 +162,165 @@ def render_frame(
     return depth_mm, rgb
 
 
+@dataclass
+class SensorModel:
+    """Structured-light (Kinect-v1-class) sensor noise for synthetic
+    renders — the highest-fidelity proxy available in an environment
+    with no dataset egress (BASELINE.md's metric is ATE on TUM fr1/desk,
+    captured with exactly this sensor class).
+
+    Components, with publicly documented magnitudes:
+      - axial noise grows quadratically with depth:
+        sigma_z(z) = axial_a + axial_b * (z - 0.4)^2  [metres]
+        (Nguyen, Izadi, Lovell, 3DIMPVT'12 empirical Kinect fit)
+      - depth quantisation from the discretised disparity map:
+        step q(z) ~= quant_mm_per_m2 * z^2 millimetres
+        (Khoshelham & Elberink, Sensors'12: ~2.5 mm at 1 m, ~1 cm at
+        2 m, ~7 cm at 5 m)
+      - lateral noise: ~0.8 px jitter of the sampling grid (same paper)
+      - invalid returns at depth discontinuities (occlusion shadows of
+        the IR projector): pixels adjacent to a > edge_jump_mm step
+        drop out
+      - operating range gate [min_z, max_z] (Kinect: 0.4-5 m)
+      - rolling-shutter-ish readout: each image row is rendered at the
+        pose interpolated readout_s * row/H into the inter-frame motion
+        (the reference sensor streams rows over ~1/30 s)
+    """
+
+    axial_a: float = 0.0012
+    axial_b: float = 0.0019
+    lateral_px: float = 0.8
+    quant_mm_per_m2: float = 2.73
+    edge_jump_mm: float = 120.0
+    min_z: float = 0.4
+    max_z: float = 5.0
+    readout_s: float = 0.025
+    frame_dt_s: float = 1.0 / 30.0
+
+
+def _se3_log(T: np.ndarray) -> np.ndarray:
+    """6-vector (omega, v) with T ~= exp. Small-angle-safe."""
+    R = T[:3, :3]
+    cos_t = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(cos_t)
+    if theta < 1e-8:
+        omega = np.zeros(3)
+    else:
+        omega = (
+            theta
+            / (2.0 * np.sin(theta))
+            * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        )
+    return np.concatenate([omega, T[:3, 3]])
+
+
+def _se3_exp_rot(omega: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(omega)
+    if theta < 1e-8:
+        return np.eye(3)
+    k = omega / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def render_frame_sensor(
+    scene: Scene,
+    cam: CameraIntrinsics,
+    T_wc: np.ndarray,
+    model: SensorModel,
+    rng: np.random.Generator,
+    T_next: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render one frame through the SensorModel. T_next (the next
+    frame's pose) drives the rolling-shutter row interpolation; None
+    renders a global-shutter frame with the same noise."""
+    H, W = cam.height, cam.width
+    # lateral noise: jitter the sampling grid (sub-pixel ray offsets)
+    u0, v0 = np.meshgrid(np.arange(W, dtype=float), np.arange(H, dtype=float))
+    u = u0 + rng.normal(0.0, model.lateral_px, u0.shape)
+    v = v0 + rng.normal(0.0, model.lateral_px, v0.shape)
+    rays_cam = np.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, np.ones_like(u)], axis=-1
+    )
+
+    if T_next is not None and model.readout_s > 0:
+        # per-row pose: advance along log(T^-1 T_next) by the row's
+        # readout fraction of the inter-frame motion
+        xi = _se3_log(np.linalg.inv(T_wc) @ T_next)
+        fracs = (np.arange(H) / max(H - 1, 1)) * (
+            model.readout_s / model.frame_dt_s
+        )
+        dirs = np.empty((H, W, 3))
+        origins = np.empty((H, W, 3))
+        # group rows into 16 bands — pose changes smoothly; banding keeps
+        # the raytrace vectorised without visible stepping at these rates
+        for b0 in range(0, H, max(H // 16, 1)):
+            b1 = min(b0 + max(H // 16, 1), H)
+            f = float(fracs[(b0 + b1) // 2])
+            d = np.eye(4)
+            d[:3, :3] = _se3_exp_rot(xi[:3] * f)
+            d[:3, 3] = xi[3:] * f
+            Trow = T_wc @ d
+            dirs[b0:b1] = rays_cam[b0:b1] @ Trow[:3, :3].T
+            origins[b0:b1] = Trow[:3, 3]
+    else:
+        dirs = rays_cam @ T_wc[:3, :3].T
+        origins = np.broadcast_to(T_wc[:3, 3], dirs.shape).copy()
+
+    norm = np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs_n = dirs / norm
+    t_hit = _ray_box_interior(origins, dirs_n, scene.box_min, scene.box_max)
+    hit_id = np.zeros(t_hit.shape, dtype=np.int32)
+    for i, s in enumerate(scene.spheres):
+        ts = _ray_sphere(origins, dirs_n, s.center, s.radius)
+        closer = ts < t_hit
+        t_hit = np.where(closer, ts, t_hit)
+        hit_id = np.where(closer, i + 1, hit_id)
+    for i, cb in enumerate(scene.cuboids):
+        ts = _ray_cuboid(origins, dirs_n, cb.bmin, cb.bmax)
+        closer = ts < t_hit
+        t_hit = np.where(closer, ts, t_hit)
+        hit_id = np.where(closer, len(scene.spheres) + i + 1, hit_id)
+    pts = origins + t_hit[..., None] * dirs_n
+    z = t_hit / norm[..., 0]
+    z = np.where(np.isfinite(z), z, 0.0)
+
+    # axial noise, quadratic in depth
+    sigma = model.axial_a + model.axial_b * np.square(np.maximum(z - 0.4, 0.0))
+    z_noisy = z + rng.normal(0.0, 1.0, z.shape) * sigma * (z > 0)
+    # disparity quantisation: the sensor measures inverse depth on a
+    # fixed lattice of step s, giving depth steps dz = s * z^2
+    s = model.quant_mm_per_m2 / 1000.0  # 1/m
+    if s > 0:
+        inv = 1.0 / np.maximum(z_noisy, 1e-6)
+        z_noisy = np.where(
+            z_noisy > 0, 1.0 / np.maximum(np.round(inv / s) * s, 1e-9), z_noisy
+        )
+    # range gate + discontinuity dropout (projector occlusion shadows)
+    valid = (z > model.min_z) & (z < model.max_z)
+    jump = model.edge_jump_mm / 1000.0
+    dz_x = np.abs(np.diff(z, axis=1, prepend=z[:, :1]))
+    dz_y = np.abs(np.diff(z, axis=0, prepend=z[:1, :]))
+    edge = (dz_x > jump) | (dz_y > jump)
+    edge = edge | np.roll(edge, -1, axis=1) | np.roll(edge, -1, axis=0)
+    valid &= ~edge
+    depth_mm = np.where(valid, np.clip(z_noisy * 1000.0, 0, 65535), 0.0).astype(
+        np.uint16
+    )
+
+    checker = (
+        (np.floor(pts[..., 0] * 4) + np.floor(pts[..., 1] * 4) + np.floor(pts[..., 2] * 4))
+        % 2
+    ).astype(np.float32)
+    base = 0.35 + 0.5 * checker
+    tint = np.array(
+        [[0.9, 0.9, 0.9], [0.9, 0.4, 0.3], [0.3, 0.8, 0.4], [0.35, 0.45, 0.9]]
+    )[np.clip(hit_id, 0, 3)]
+    rgb = np.clip(base[..., None] * tint * 255.0, 0, 255).astype(np.uint8)
+    rgb[depth_mm == 0] = 0
+    return depth_mm, rgb
+
+
 def orbit_trajectory(
     n_frames: int,
     radius: float = 0.35,
@@ -448,6 +607,108 @@ def lap_trajectory(
         T[:3, 3] = [pxz[0], sway * np.sin(0.7 * i), pxz[1]]
         poses.append(T)
     return poses
+
+
+def desk_scene() -> Scene:
+    """A cluttered office-desk corner — the fr1/desk proxy. TUM fr1/desk
+    sweeps a handheld Kinect around two desks with monitors, mugs and
+    books at 0.8-2.5 m range; this scene reproduces that working volume:
+    a desk slab with a monitor-like box, stacked books, mug-sized
+    spheres, a second lower desk, and the room corner behind them, so
+    every viewpoint of the sweep sees planes at several orientations
+    plus curved objects (all 6 ICP DOF constrained, like the real
+    sequence's geometry)."""
+    desk_h = 0.55  # y is image-down: +y floor at +1.2, desk top y = 1.2-desk_h
+    top = 1.2 - desk_h
+    return Scene(
+        box_min=np.array([-2.2, -1.6, -1.4]),
+        box_max=np.array([2.2, 1.2, 2.6]),
+        cuboids=[
+            # main desk slab
+            Cuboid(np.array([-1.1, top, 1.1]), np.array([0.9, top + 0.06, 2.0])),
+            # monitor on the desk (upright box)
+            Cuboid(np.array([-0.55, top - 0.42, 1.75]), np.array([0.05, top, 1.85])),
+            # book stack
+            Cuboid(np.array([0.3, top - 0.12, 1.5]), np.array([0.65, top, 1.8])),
+            # second, lower side desk
+            Cuboid(np.array([1.0, top + 0.12, 0.4]), np.array([1.9, top + 0.18, 1.6])),
+            # box under the side desk
+            Cuboid(np.array([1.25, top + 0.5, 0.7]), np.array([1.75, 1.2, 1.2])),
+        ],
+        spheres=[
+            Sphere(np.array([0.05, top - 0.07, 1.45]), 0.07),  # mug
+            Sphere(np.array([-0.8, top - 0.1, 1.55]), 0.10),   # globe
+            Sphere(np.array([1.45, top - 0.0, 1.0]), 0.12),    # ball on side desk
+        ],
+    )
+
+
+def handheld_trajectory(
+    n_frames: int = 240,
+    sweep_deg: float = 55.0,
+    radius: float = 1.4,
+    tremor_mm: float = 2.0,
+    seed: int = 3,
+) -> List[np.ndarray]:
+    """fr1/desk-like handheld motion: an arcing sweep around the desk
+    (peak ~0.4 m/s translation, ~25 deg/s yaw — fr1/desk's published
+    means are 0.41 m/s and 23.3 deg/s) with a slow up-down bob and
+    high-frequency hand tremor on all axes. Starts and ends near the
+    same viewpoint, like the real sequence's partial return."""
+    rng = np.random.default_rng(seed)
+    tremor = rng.normal(0.0, tremor_mm / 1000.0, (n_frames, 3))
+    # smooth the tremor slightly (hands are not white noise)
+    k = np.array([0.25, 0.5, 0.25])
+    for a in range(3):
+        tremor[:, a] = np.convolve(tremor[:, a], k, mode="same")
+    poses = []
+    for i in range(n_frames):
+        ph = np.sin(np.pi * i / max(n_frames - 1, 1))  # out-and-back sweep
+        yaw = np.deg2rad(sweep_deg) * (ph - 0.5) * 2.0 * 0.5
+        pitch = np.deg2rad(8.0) * np.sin(4 * np.pi * i / n_frames)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4)
+        T[:3, :3] = Ry @ Rx
+        # orbit the desk centre (0.0, ~0.4, 1.6) at `radius`, camera
+        # looking +z toward it; translate opposite the yaw so the desk
+        # stays framed
+        T[:3, 3] = (
+            np.array(
+                [
+                    -sy * radius * 0.55,
+                    0.12 * np.sin(2 * np.pi * i / n_frames),
+                    radius * 0.12 * (1 - cy),
+                ]
+            )
+            + tremor[i]
+        )
+        poses.append(T)
+    return poses
+
+
+def generate_klg_sensor(
+    path: str,
+    cam: CameraIntrinsics,
+    poses: List[np.ndarray],
+    scene: Scene,
+    model: SensorModel,
+    fps: float = 30.0,
+    gt_path: Optional[str] = None,
+    seed: int = 11,
+) -> None:
+    """generate_klg through the full SensorModel (rolling shutter uses
+    each frame's successor pose)."""
+    rng = np.random.default_rng(seed)
+    with KlgLogWriter(path) as w:
+        for i, T in enumerate(poses):
+            T_next = poses[i + 1] if i + 1 < len(poses) else None
+            depth, rgb = render_frame_sensor(scene, cam, T, model, rng, T_next)
+            w.write(int(i * 1e6 / fps), depth, rgb)
+    if gt_path:
+        save_trajectory(gt_path, [i / fps for i in range(len(poses))], poses)
 
 
 def generate_klg(

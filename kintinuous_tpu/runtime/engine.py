@@ -354,6 +354,12 @@ class SlamEngine:
             upload_q.put(None)
 
         threading.Thread(target=uploader, daemon=True).start()
+        # compile the per-frame odometry program concurrently with the
+        # first batches: the trailing partial batch runs per-frame, and
+        # without this its first frame pays that compile inside the run
+        threading.Thread(
+            target=self.tracker.warm_per_frame_step, daemon=True
+        ).start()
         published = 0
         total = 0
         while True:

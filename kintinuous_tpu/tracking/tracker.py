@@ -1025,6 +1025,28 @@ class Tracker:
         while self._pending_batches:
             self._consume_batch(*self._pending_batches.popleft())
 
+    def warm_per_frame_step(self) -> None:
+        """Compile the per-frame odometry program ahead of need.
+
+        In an offline batched run only the first-frame ext-delta program
+        and the batch program are exercised until the trailing partial
+        batch, whose first frame would otherwise compile ``_step_odom``
+        from scratch *inside* the run (a multi-second stall — minutes
+        through a tunnelled compile service at 512^3). Runs one
+        throwaway step on a donated zero-state copy so the jit cache,
+        keyed on abstract shapes, serves the real tail instantly.
+        Thread-safe to call from a background thread at engine startup.
+        """
+        if getattr(self, "_odom_warmed", False):
+            return
+        self._odom_warmed = True
+        cam = self.cfg.camera
+        d = jnp.zeros((cam.height, cam.width), jnp.uint16)
+        rgb = jnp.zeros((cam.height, cam.width, 3), jnp.uint8)
+        state = jax.tree_util.tree_map(jnp.zeros_like, self.state)
+        _, out = self._step_odom(state, d, rgb, jnp.eye(4, dtype=jnp.float32))
+        jax.block_until_ready(out.pose_global)
+
     def _consume(self, out: StepOutputs, timestamp_us: int, frame_idx: int) -> None:
         # ONE device_get for every scalar (a tunnelled device costs a
         # full round trip per fetch — ten separate fetches per frame

@@ -252,3 +252,27 @@ def test_batched_pool_never_drops_many_shifts():
     ]
     for a, b in zip(pf.slices, bt.slices):
         assert len(a.points) == len(b.points)
+
+
+def test_warm_per_frame_step_is_inert():
+    """warm_per_frame_step (engine startup pre-compile of the tail's
+    per-frame odometry program) must not perturb tracker state or
+    results — it runs on a throwaway zero-state copy."""
+    poses = orbit_trajectory(6, radius=0.1, angle_deg=5.0)
+    frames = [render_frame(Scene.default(), CAM, T) for T in poses]
+    cfg = fast_cfg(static_mode=True)
+
+    cold = Tracker(cfg)
+    for i, (d, c) in enumerate(frames):
+        cold.process_frame(d, c, int(i * 1e6 / 30))
+    cold.flush()
+
+    warm = Tracker(cfg)
+    warm.warm_per_frame_step()
+    warm.warm_per_frame_step()  # idempotent
+    for i, (d, c) in enumerate(frames):
+        warm.process_frame(d, c, int(i * 1e6 / 30))
+    warm.flush()
+
+    assert len(warm.poses) == len(cold.poses)
+    np.testing.assert_allclose(warm.poses[-1], cold.poses[-1], atol=1e-6)
