@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 BLOCK = 8
@@ -138,6 +139,77 @@ def gather_voxels(blocked_arr: jnp.ndarray, R: int, pz, py, px):
     gather; used by extraction/meshing on rare shift frames)."""
     idx = flat_index(R, pz, py, px)
     return blocked_arr.reshape(-1)[idx]
+
+
+def blocked_clear_mask(shift, S: int, R: int, row=None):
+    """(B^3,4,128) bool KEEP mask for the departing bands of a shift,
+    built directly in blocked coordinates (row-id / off bit arithmetic).
+
+    axis_keep_mask routes through a 6-D dense-coordinate broadcast whose
+    reshape forces XLA into {0,2,1:T(8,128)} relayout copies of the full
+    1 GB volume on every shift frame (profiled ~10 ms/shift at 512^3);
+    expressing the same mask as fused iota arithmetic on the blocked
+    shape lets it fold into the roll copy with no layout detour.
+    Logical == physical coords (wrap 0, the fast-path invariant).
+
+    row: optional (B^3,) i32 row ids to evaluate the mask at (used by
+    shift_roll_clear, which clears at SOURCE coords while permuting);
+    default is each row's own id."""
+    B = R // BLOCK
+    n = B ** 3
+    shape = (n, 4, 128)
+    if row is None:
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    else:
+        row = row[:, None, None]
+    off = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 1) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    )
+    x = jax.lax.rem(row, B) * BLOCK + (off & 7)
+    y = jax.lax.rem(row // B, B) * BLOCK + ((off >> 3) & 7)
+    z = (row // (B * B)) * BLOCK + (off >> 6)
+
+    def clear_axis(coord, s):
+        lo = jnp.where(s > 0, 0, R - S)
+        hi = jnp.where(s > 0, S, R)
+        return (s != 0) & (coord >= lo) & (coord < hi)
+
+    cl = (
+        clear_axis(x, shift[0])
+        | clear_axis(y, shift[1])
+        | clear_axis(z, shift[2])
+    )
+    return jnp.logical_not(cl)
+
+
+def shift_roll_clear(tsdf, cw, shift, S: int, R: int):
+    """Clear departing bands and roll the blocked volume in ONE fused
+    row-gather pass, unconditionally (shift 0 degenerates to a copy).
+
+    Shifts are multiples of BLOCK (fast-path invariant), so the roll is
+    a pure block-ROW permutation: out[row] = in[perm(row)], with the
+    departing-band clear evaluated at the SOURCE coords (reference
+    clears the band before re-addressing, tsdf_volume.cu:87-448 +
+    KintinuousTracker.cpp:675-831). 2 KB row gathers run near memory
+    bandwidth (the reason for the blocked layout), so this replaces a
+    lax.cond whose identity branch copied the full volume every
+    non-shift frame and whose roll branch paid reshape/select fusions
+    (profiled ~12.7 ms/frame combined at 512^3) with a flat ~3 ms."""
+    B = R // BLOCK
+    n = B ** 3
+    sb = shift // BLOCK
+    row = jnp.arange(n, dtype=jnp.int32)
+    bz = row // (B * B)
+    by = jax.lax.rem(row // B, B)
+    bx = jax.lax.rem(row, B)
+    src = (
+        jax.lax.rem(bz + sb[2] + B, B) * B + jax.lax.rem(by + sb[1] + B, B)
+    ) * B + jax.lax.rem(bx + sb[0] + B, B)
+    keep = blocked_clear_mask(shift, S, R, row=src)
+    t = tsdf[src] * keep
+    c = jnp.where(keep, cw[src], jnp.uint32(0))
+    return t, c
 
 
 def axis_keep_mask(keep_x, keep_y, keep_z):

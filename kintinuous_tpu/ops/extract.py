@@ -36,7 +36,18 @@ class ExtractResult(NamedTuple):
     count: jnp.ndarray  # () i32 number of valid entries (<= cap)
 
 
-def extract_points(
+class PackedExtract(NamedTuple):
+    """Single-buffer extraction result for the fast step: columns
+    [x, y, z, r, g, b, w, 0]. One (cap,8) buffer flows through the
+    shift lax.cond and the batched pool dus instead of three odd-shaped
+    arrays — profiled ~9 ms/frame of conditional copies at 512^3 with
+    the split form."""
+
+    vals: jnp.ndarray  # (cap, 8) f32
+    count: jnp.ndarray  # () i32
+
+
+def _extract_packed(
     vol: VolumeState,
     lo: jnp.ndarray,  # (3,) i32 [x,y,z] logical sub-box lower corner (traced ok)
     size: Tuple[int, int, int],  # STATIC [x,y,z] sub-box extent in voxels
@@ -45,7 +56,7 @@ def extract_points(
     min_weight: float = 1.0,
     clamp_edges: bool = False,
     coord_offset: jnp.ndarray | None = None,
-) -> ExtractResult:
+) -> PackedExtract:
     """vol.tsdf may be non-cubic [z,y,x] (a band SLAB view of the blocked
     fast-mode volume, ops/blocked.slab_to_dense). clamp_edges=True clamps
     neighbour gathers at the array edge instead of wrapping mod R (no
@@ -201,7 +212,22 @@ def extract_points(
     return _compact_flat(any_cross, planes, n, capacity)
 
 
-def _compact_flat(any_cross, planes, n, capacity):
+def extract_points(*args, **kwargs) -> ExtractResult:
+    p = _extract_packed(*args, **kwargs)
+    return ExtractResult(
+        points=p.vals[:, 0:3], colors=p.vals[:, 3:6], weights=p.vals[:, 6],
+        count=p.count,
+    )
+
+
+def extract_points_packed(*args, **kwargs) -> PackedExtract:
+    """extract_points returning the single-buffer PackedExtract form
+    (used by the fast tracker step so the shift cond and the batched
+    pool carry ONE well-tiled buffer)."""
+    return _extract_packed(*args, **kwargs)
+
+
+def _compact_flat(any_cross, planes, n, capacity) -> PackedExtract:
     """Single-level compaction: one n-update index scatter + seven
     capacity-sized gathers. A TPU scatter runs ~4 ns/update — fine for
     test-scale volumes, ~24 ms for a 512^2x19 shift band."""
@@ -220,15 +246,12 @@ def _compact_flat(any_cross, planes, n, capacity):
     def compact(flat):
         return jnp.where(valid, flat[src], 0.0)
 
-    points = jnp.stack([compact(cands[0]), compact(cands[1]),
-                        compact(cands[2])], axis=-1)
-    colors = jnp.stack([compact(cands[3]), compact(cands[4]),
-                        compact(cands[5])], axis=-1)
-    weights = compact(cands[6])
-    return ExtractResult(points=points, colors=colors, weights=weights, count=count)
+    vals = jnp.stack([compact(c) for c in cands], axis=-1)  # (cap,7)
+    vals = jnp.pad(vals, ((0, 0), (0, 1)))
+    return PackedExtract(vals=vals, count=count)
 
 
-def _compact_two_level(any_cross, planes, n, capacity):
+def _compact_two_level(any_cross, planes, n, capacity) -> PackedExtract:
     """Row-level two-stage compaction for big domains.
 
     The n-update scatter dominates band extraction (~4 ns/update = 24 ms
@@ -276,13 +299,8 @@ def _compact_two_level(any_cross, planes, n, capacity):
         return jnp.where(valid[:, None], vals, 0.0)
 
     def flat(_):
-        r = _compact_flat(any_cross, planes, n, capacity)
-        return jnp.concatenate(
-            [r.points, r.colors, r.weights[:, None]], axis=1
-        )
+        return _compact_flat(any_cross, planes, n, capacity).vals[:, :7]
 
     vals = jax.lax.cond(n_act <= row_cap, two_level, flat, 0)
-    return ExtractResult(
-        points=vals[:, 0:3], colors=vals[:, 3:6], weights=vals[:, 6],
-        count=count,
-    )
+    vals = jnp.pad(vals, ((0, 0), (0, 1)))
+    return PackedExtract(vals=vals, count=count)

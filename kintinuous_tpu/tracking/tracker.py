@@ -39,7 +39,12 @@ from kintinuous_tpu.config import KintinuousConfig
 from kintinuous_tpu.geometry import se3
 from kintinuous_tpu.ops import maps as map_ops
 from kintinuous_tpu.ops import preprocess as pp
-from kintinuous_tpu.ops.extract import ExtractResult, extract_points
+from kintinuous_tpu.ops.extract import (
+    ExtractResult,
+    PackedExtract,
+    extract_points,
+    extract_points_packed,
+)
 from kintinuous_tpu.ops.raycast import raycast
 from kintinuous_tpu.ops.surface_nets import MeshResult, extract_mesh
 from kintinuous_tpu.ops.tsdf import VolumeState, integrate, make_volume
@@ -369,11 +374,11 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
     use_rgbd = cfg.rgbd_odometry or cfg.icp_plus_rgbd
 
     def empty_slices():
-        e = ExtractResult(
-            points=jnp.zeros((cap, 3), jnp.float32),
-            colors=jnp.zeros((cap, 3), jnp.float32),
-            weights=jnp.zeros((cap,), jnp.float32),
-            count=jnp.int32(0),
+        # single-buffer packed form: ONE well-tiled (cap,8) array flows
+        # through the shift cond / batched pool instead of three
+        # odd-shaped buffers (profiled ~9 ms/frame of cond copies)
+        e = PackedExtract(
+            vals=jnp.zeros((cap, 8), jnp.float32), count=jnp.int32(0)
         )
         return (e, e, e)
 
@@ -481,9 +486,13 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
                         jnp.where(s > 0, 0, SLAB_B * 8 - S - OV)
                     )
                     coff = jnp.zeros(3, jnp.int32).at[2].set(b0 * 8)
-                    pts = extract_points(view, lo, size_view, vsz, cap,
-                                         clamp_edges=True, coord_offset=coff)
-                    pts = pts._replace(points=pts.points[:, inv])
+                    pts = extract_points_packed(
+                        view, lo, size_view, vsz, cap,
+                        clamp_edges=True, coord_offset=coff,
+                    )
+                    # view-space xyz columns -> volume order
+                    perm = list(inv) + [3, 4, 5, 6, 7]
+                    pts = pts._replace(vals=pts.vals[:, perm])
                     if cfg.incremental_mesh:
                         m = extract_mesh(view, lo, size_view, vsz, vc, fc,
                                          clamp_edges=True, coord_offset=coff)
@@ -505,40 +514,20 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             if cfg.incremental_mesh:
                 mesh_patches = tuple(p[1] for p in per_axis)
 
-            def do_clear(v):
-                """Clear departing bands, then PHYSICALLY roll the
-                blocked volume so wrap stays 0 (logical == physical).
-                The reference re-addresses via voxelWrap instead
-                (tsdf_volume.cu:612-615); a wrap-free window costs one
-                in-place roll on rare shift frames and lets every
-                volume kernel (and the Pallas raycast's region DMAs)
-                skip mod arithmetic entirely."""
+            # Clear departing bands + PHYSICALLY roll the blocked volume
+            # so wrap stays 0 (logical == physical). The reference
+            # re-addresses via voxelWrap instead (tsdf_volume.cu:612-615);
+            # a wrap-free window lets every volume kernel (and the
+            # Pallas raycast's region DMAs) skip mod arithmetic.
+            # UNCONDITIONAL fused row-gather: a lax.cond here copied the
+            # full volume on every non-shift frame anyway (identity
+            # branches of donated conds materialise), costing more than
+            # the flat permutation copy (ops/blocked.shift_roll_clear).
+            from kintinuous_tpu.ops.blocked import shift_roll_clear
 
-                def keep_axis(axis):
-                    s = shift[axis]
-                    lo = jnp.where(s > 0, 0, R - S)
-                    hi = jnp.where(s > 0, S, R)
-                    logical = jnp.arange(R, dtype=jnp.int32)  # wrap == 0
-                    return jnp.logical_not(
-                        (s != 0) & (logical >= lo) & (logical < hi)
-                    )
-
-                keep = axis_keep_mask(keep_axis(0), keep_axis(1), keep_axis(2))
-                t = v.tsdf * keep
-                c = jnp.where(keep, v.cw, jnp.uint32(0))
-                B = R // 8
-                sb = shift // 8  # fast mode forces 8-aligned shifts
-                t = jnp.roll(
-                    t.reshape(B, B, B, 4, 128),
-                    shift=(-sb[2], -sb[1], -sb[0]), axis=(0, 1, 2),
-                ).reshape(-1, 4, 128)
-                c = jnp.roll(
-                    c.reshape(B, B, B, 4, 128),
-                    shift=(-sb[2], -sb[1], -sb[0]), axis=(0, 1, 2),
-                ).reshape(-1, 4, 128)
-                return v._replace(tsdf=t, cw=c)
-
-            vol = jax.lax.cond(shift_any, do_clear, lambda v: v, vol)
+            t, c = shift_roll_clear(vol.tsdf, vol.cw, shift, S, R)
+            vol = vol._replace(tsdf=t, cw=c)
+            del shift_any  # unconditional path
             vol = vol._replace(
                 origin=vol.origin + shift.astype(jnp.float32) * vsz,
             )
@@ -646,10 +635,7 @@ def make_batched_step_fast(cfg: KintinuousConfig, use_odometry: bool, batch: int
                     )
                 take = shifted & fits
                 off = jnp.where(take, ctr[0], P)
-                pts, cols, wts = pool
-                pts = jax.lax.dynamic_update_slice(pts, res.points, (off, 0))
-                cols = jax.lax.dynamic_update_slice(cols, res.colors, (off, 0))
-                wts = jax.lax.dynamic_update_slice(wts, res.weights, (off,))
+                pool = jax.lax.dynamic_update_slice(pool, res.vals, (off, 0))
                 row = jnp.stack([
                     jnp.where(take, idx, -1), jnp.int32(axis), off, res.count,
                     ctr[2] if inc_mesh else jnp.int32(0),
@@ -683,7 +669,7 @@ def make_batched_step_fast(cfg: KintinuousConfig, use_odometry: bool, batch: int
                     jnp.stack([jnp.int32(0)] * 4
                               + [(shifted & ~fits).astype(jnp.int32)]),
                 )
-                return (pts, cols, wts), mpool, events, ctr
+                return pool, mpool, events, ctr
 
             for axis in range(3):
                 pool, mpool, events, ctr = put_axis(
@@ -695,11 +681,7 @@ def make_batched_step_fast(cfg: KintinuousConfig, use_odometry: bool, batch: int
             )
             return (st, pool, mpool, events, ctr), y
 
-        pool0 = (
-            jnp.zeros((P + cap, 3), jnp.float32),
-            jnp.zeros((P + cap, 3), jnp.float32),
-            jnp.zeros((P + cap,), jnp.float32),
-        )
+        pool0 = jnp.zeros((P + cap, 8), jnp.float32)
         mpool0 = (
             (
                 jnp.zeros((PV + vc, 3), jnp.float32),
@@ -954,13 +936,9 @@ class Tracker:
             for e in range(n_events)
             if events_h[e, 3] > 0
         ]
-        pts_d, cols_d, wts_d = pool
         fetch = []
         for (fidx, axis, off, cnt, voff, nv, foff, nf, s) in pend:
-            fetch += [
-                pts_d[off:off + cnt],
-                cols_d[off:off + cnt], wts_d[off:off + cnt],
-            ]
+            fetch += [pool[off:off + cnt]]
             if self.cfg.incremental_mesh and nv > 0 and nf > 0:
                 mv, mc, mcell, mf = mpool
                 fetch += [
@@ -970,8 +948,9 @@ class Tracker:
         data = jax.device_get(fetch) if fetch else []
         di = 0
         for (fidx, axis, off, cnt, voff, nv, foff, nf, s) in pend:
-            pts, cols, wgts = data[di], data[di + 1], data[di + 2]
-            di += 3
+            v = np.asarray(data[di])
+            pts, cols, wgts = v[:, 0:3], v[:, 3:6], v[:, 6]
+            di += 1
             sl = CloudSlice(
                 points=np.asarray(pts),
                 colors=np.clip(np.asarray(cols), 0, 255).astype(np.uint8),
@@ -1077,13 +1056,22 @@ class Tracker:
             if s == 0 or cnt == 0:
                 continue
             res = out.slices[axis]
-            fetch += [res.points[:cnt], res.colors[:cnt], res.weights[:cnt]]
+            if isinstance(res, PackedExtract):
+                fetch += [res.vals[:cnt]]
+            else:
+                fetch += [
+                    jnp.concatenate(
+                        [res.points[:cnt], res.colors[:cnt],
+                         res.weights[:cnt, None]], axis=1,
+                    )
+                ]
             meta.append((axis, s, cnt))
         if not fetch:
             return
         data = jax.device_get(fetch)
         for k, (axis, s, cnt) in enumerate(meta):
-            pts, cols, wgts = data[3 * k], data[3 * k + 1], data[3 * k + 2]
+            v = np.asarray(data[k])
+            pts, cols, wgts = v[:, 0:3], v[:, 3:6], v[:, 6]
             sl = CloudSlice(
                 points=np.asarray(pts),
                 colors=np.clip(np.asarray(cols), 0, 255).astype(np.uint8),

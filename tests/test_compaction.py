@@ -31,9 +31,7 @@ def _run_both(mask_np, cap):
 
 def assert_same(a, b):
     assert int(a.count) == int(b.count)
-    np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
-    np.testing.assert_array_equal(np.asarray(a.colors), np.asarray(b.colors))
-    np.testing.assert_array_equal(np.asarray(a.weights), np.asarray(b.weights))
+    np.testing.assert_array_equal(np.asarray(a.vals), np.asarray(b.vals))
 
 
 def test_sparse_band_matches_flat():
