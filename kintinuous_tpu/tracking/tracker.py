@@ -518,16 +518,18 @@ def make_step_fast(cfg: KintinuousConfig, use_odometry: bool):
             # so wrap stays 0 (logical == physical). The reference
             # re-addresses via voxelWrap instead (tsdf_volume.cu:612-615);
             # a wrap-free window lets every volume kernel (and the
-            # Pallas raycast's region DMAs) skip mod arithmetic.
-            # UNCONDITIONAL fused row-gather: a lax.cond here copied the
-            # full volume on every non-shift frame anyway (identity
-            # branches of donated conds materialise), costing more than
-            # the flat permutation copy (ops/blocked.shift_roll_clear).
+            # Pallas raycast's region DMAs) skip mod arithmetic. The
+            # roll branch is ONE fused row-gather permutation + clear
+            # (shifts are block multiples): the reshape/jnp.roll form
+            # paid ~10 ms of dense-coordinate relayout copies per shift
+            # frame at 512^3 (profiled).
             from kintinuous_tpu.ops.blocked import shift_roll_clear
 
-            t, c = shift_roll_clear(vol.tsdf, vol.cw, shift, S, R)
-            vol = vol._replace(tsdf=t, cw=c)
-            del shift_any  # unconditional path
+            def do_clear(v):
+                t, c = shift_roll_clear(v.tsdf, v.cw, shift, S, R)
+                return v._replace(tsdf=t, cw=c)
+
+            vol = jax.lax.cond(shift_any, do_clear, lambda v: v, vol)
             vol = vol._replace(
                 origin=vol.origin + shift.astype(jnp.float32) * vsz,
             )
