@@ -396,6 +396,77 @@ def _stage_table(cfg):
     return {k: round(v, 2) for k, v in ms.items()}
 
 
+def _desk_cache(cfg, n_frames=180):
+    """fr1/desk PROXY frames: cluttered desk scene + handheld sweep
+    rendered through the full structured-light SensorModel (quadratic
+    axial noise, inverse-depth quantisation, lateral jitter, edge
+    dropout, rolling-shutter rows). The REAL fr1/desk cannot be fetched
+    here (no egress — see the BENCH_NOTES section below); this is the
+    highest-fidelity stand-in for BASELINE.md's accuracy metric."""
+    from kintinuous_tpu.io.synth import (
+        SensorModel, desk_scene, handheld_trajectory, render_frame_sensor,
+    )
+
+    cache = f"{CACHE_DIR}/desk_{n_frames}.npz"
+    poses = handheld_trajectory(n_frames=n_frames)
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return d["depths"], d["rgbs"], poses
+    scene = desk_scene()
+    model = SensorModel()
+    rng = np.random.default_rng(11)
+    depths, rgbs = [], []
+    for i, T in enumerate(poses):
+        T_next = poses[i + 1] if i + 1 < len(poses) else None
+        dm, rgb = render_frame_sensor(scene, cfg.camera, T, model, rng, T_next)
+        depths.append(dm)
+        rgbs.append(rgb)
+    depths = np.stack(depths)
+    rgbs = np.stack(rgbs)
+    np.savez_compressed(cache, depths=depths, rgbs=rgbs)
+    return depths, rgbs, poses
+
+
+def _bench_desk_proxy(cfg_base):
+    """D: fr1/desk-proxy accuracy — fused ICP+RGB-D (the desk view is
+    degenerate for geometric-only ICP, like the real sequence), static
+    volume, device-resident batched tracking, ATE vs ground truth."""
+    import jax
+    import jax.numpy as jnp
+
+    from kintinuous_tpu.eval.ate import absolute_trajectory_error
+    from kintinuous_tpu.tracking.tracker import Tracker
+
+    cfg = cfg_base.replace(static_mode=True, icp_plus_rgbd=True)
+    depths, rgbs, poses = _desk_cache(cfg)
+    n_frames = len(poses)
+    mark(f"desk proxy frames ready ({n_frames})")
+    tracker = Tracker(cfg)
+    tracker.collect_slices = False
+    tracker.process_frames(
+        [(depths[i], rgbs[i], i * 33333) for i in range(1 + BATCH)]
+    )
+    dev_d = jnp.asarray(depths.astype(np.uint16))
+    dev_c = jnp.asarray(rgbs.astype(np.uint8))
+    gather = jax.jit(lambda ds, cs, idx: (ds[idx], cs[idx]))
+    for k in range(1 + BATCH, n_frames - BATCH + 1, BATCH):
+        idx = jnp.arange(k, k + BATCH, dtype=jnp.int32)
+        d_b, c_b = gather(dev_d, dev_c, idx)
+        tracker.process_batch_device(
+            d_b, c_b, [i * 33333 for i in range(k, k + BATCH)]
+        )
+    tracker.flush()
+    n_done = len(tracker.poses)
+    stamps = np.arange(n_frames) / 30.0
+    ate, n_match = absolute_trajectory_error(
+        stamps, np.array(poses),
+        np.array(tracker.stamps_us) / 1e6, np.array(tracker.poses),
+    )
+    RESULTS["proxy_desk_ate_cm"] = round(ate * 100.0, 2)
+    RESULTS["proxy_desk_frames"] = int(n_done)
+    mark(f"desk proxy ATE {ate*100:.2f} cm over {n_done} frames")
+
+
 def _write_notes():
     r = RESULTS
 
@@ -419,6 +490,7 @@ tunnel-fed. Phases completed: {', '.join(r['phases_done']) or 'none'}.
 | C. lap | shift events / slices / loops acc | {g('traversal_shift_events', '{}')} / {g('traversal_slices', '{}')} / {g('traversal_loops_accepted', '{}')} |
 | C. lap | slices dropped | {g('traversal_slices_dropped', '{}')} |
 | C. lap | min ICP inliers | {g('traversal_icp_min', '{:.0f}')} |
+| D. fr1/desk proxy (sensor model, fused -ri) | ATE | {g('proxy_desk_ate_cm')} cm |
 
 Pallas raycast measurement-fallback fraction (orbit, in-volume rays):
 {g('pallas_fallback_frac', '{:.4f}')}.
@@ -433,6 +505,25 @@ frame at 30 Hz, 6 mm depth noise (realistic structured-light noise at
 DEFAULT isam_thresh=10 on the delta-chi2 each candidate ADDS (no
 scenario-fitted threshold; see traversal_loop_log in the bench JSON
 for per-attempt chi2_delta and correction magnitude).
+
+## Real-dataset status (BASELINE.md metric: TUM fr1/desk ATE)
+
+The real sequence is NOT fetchable from this environment: DNS
+resolution fails for any external host (zero egress). Attempted:
+
+    curl -sI https://cvg.cit.tum.de/rgbd/dataset/freiburg1/rgbd_dataset_freiburg1_desk.tgz
+    -> urllib.error.URLError: [Errno -2] Name or service not known
+
+(`tools/fetch_tum.py` reproduces the attempt and converts to .klg via
+`tools/tum_to_klg.py` when a dataset IS reachable.) Row D above is the
+highest-fidelity proxy instead: the cluttered desk scene + fr1/desk-like
+handheld sweep rendered through a Kinect-v1 noise model — quadratic
+axial noise sigma(z)=1.2+1.9(z-0.4)^2 mm, inverse-depth quantisation
+(~2.73 z^2 mm steps), 0.8 px lateral jitter, discontinuity dropout,
+0.4-5 m range gate, rolling-shutter row timing (io/synth.SensorModel,
+constants from the published Kinect noise studies) — tracked with fused
+ICP+RGB-D at full production shapes. Reference-class systems report
+~4 cm ATE on the real fr1/desk.
 
 Per-stage device time at production shapes (ms, jitted separately —
 the fused step overlaps some of these):
@@ -510,6 +601,18 @@ def main():
         _write_notes()
     else:
         mark("skipping config B: out of budget")
+
+    # --- D: fr1/desk proxy accuracy (real data unfetchable) ----------
+    if remaining() > 200:
+        try:
+            _bench_desk_proxy(cfg)
+            RESULTS["phases_done"].append("D")
+        except Exception as e:  # noqa: BLE001
+            mark(f"desk proxy FAILED: {e!r}")
+            RESULTS["proxy_desk_error"] = repr(e)[:200]
+        _write_notes()
+    else:
+        mark("skipping desk proxy: out of budget")
 
     # --- stage table (optional) ---------------------------------------
     if remaining() > 180:

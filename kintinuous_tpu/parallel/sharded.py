@@ -64,6 +64,9 @@ class ShardedTrackerState(NamedTuple):
     pred_nmap: jnp.ndarray
     pred_pose: jnp.ndarray
     frame: jnp.ndarray
+    # previous frame's RGB-D pyramid (replicated) when photometric
+    # odometry is on — TrackerState.rgbd / RGBDOdometry.cpp:165-393 role
+    rgbd: object = None
 
 
 class ShardedStepOutputs(NamedTuple):
@@ -85,12 +88,30 @@ class ShardedStepOutputs(NamedTuple):
     mesh_patches: Tuple = ()
 
 
-def state_shardings(mesh: Mesh):
+def _init_dense_rgbd(cfg: KintinuousConfig):
+    if not (cfg.rgbd_odometry or cfg.icp_plus_rgbd):
+        return None
+    from kintinuous_tpu.ops.rgbd import build_rgbd_pyramid
+
+    cam = cfg.camera
+    return build_rgbd_pyramid(
+        jnp.zeros((cam.height, cam.width), jnp.float32),
+        jnp.zeros((cam.height, cam.width), jnp.float32),
+        cfg.pyramid_levels,
+    )
+
+
+def state_shardings(mesh: Mesh, rgbd_template=None):
     rep = NamedSharding(mesh, P())
     slab = NamedSharding(mesh, P("z"))
+    rgbd_sh = (
+        jax.tree_util.tree_map(lambda _: rep, rgbd_template)
+        if rgbd_template is not None else None
+    )
     return ShardedTrackerState(
         vol=VolumeState(tsdf=slab, cw=slab, wrap=rep, origin=rep),
         pose=rep, pred_vmap=rep, pred_nmap=rep, pred_pose=rep, frame=rep,
+        rgbd=rgbd_sh,
     )
 
 
@@ -99,14 +120,15 @@ def make_sharded_state(cfg: KintinuousConfig, mesh: Mesh) -> ShardedTrackerState
     H, W = cam.height, cam.width
     vol = make_volume(cfg.volume_resolution)
     pose = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(cfg.volume_size / 2.0)
+    rgbd = _init_dense_rgbd(cfg)
     # donated state fields must not alias each other
     state = ShardedTrackerState(
         vol=vol, pose=pose,
         pred_vmap=jnp.full((3, H, W), jnp.nan, jnp.float32),
         pred_nmap=jnp.full((3, H, W), jnp.nan, jnp.float32),
-        pred_pose=pose + 0.0, frame=jnp.int32(0),
+        pred_pose=pose + 0.0, frame=jnp.int32(0), rgbd=rgbd,
     )
-    sh = state_shardings(mesh)
+    sh = state_shardings(mesh, rgbd)
     return jax.tree_util.tree_map(jax.device_put, state, sh)
 
 
@@ -441,10 +463,24 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
     shift_thresh = S * vsz
     import math
     sin_t = math.sin(math.radians(cfg.icp_angle_thresh_deg))
+    use_rgbd = cfg.rgbd_odometry or cfg.icp_plus_rgbd
+    if use_rgbd:
+        from kintinuous_tpu.ops.rgbd import (
+            MIN_GRAD2,
+            build_rgbd_pyramid,
+            pack_prev_texture,
+            rgb_system,
+        )
+        from kintinuous_tpu.ops.reduce import GNSystem, icp_step, solve_gn
 
     vol_spec = VolumeState(tsdf=P("z"), cw=P("z"), wrap=P(), origin=P())
+    rgbd_spec = (
+        jax.tree_util.tree_map(lambda _: P(), _init_dense_rgbd(cfg))
+        if use_rgbd else None
+    )
     state_spec = ShardedTrackerState(
-        vol=vol_spec, pose=P(), pred_vmap=P(), pred_nmap=P(), pred_pose=P(), frame=P()
+        vol=vol_spec, pose=P(), pred_vmap=P(), pred_nmap=P(),
+        pred_pose=P(), frame=P(), rgbd=rgbd_spec,
     )
     slice_spec = ExtractResult(
         points=P("z"), colors=P("z"), weights=P("z"), count=P("z")
@@ -471,9 +507,102 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
         )
         depth_m = pp.depth_to_metres(filtered, cfg.max_depth)
         curr_pyr = build_map_pyramid(cam, depth_m, levels)
+        if use_rgbd:
+            curr_rgbd = build_rgbd_pyramid(
+                pp.rgb_to_intensity(rgb), depth_m, levels
+            )
+        else:
+            curr_rgbd = None
 
-        # --- ICP: rows sharded, psum-reduced systems ---
-        if use_odometry:
+        # --- odometry: rows sharded, psum-reduced systems ---
+        if use_odometry and use_rgbd:
+            # fused photometric + ICP (-ri), full-res dense-path variant
+            # of fast_sharded's fused block (RGBDOdometry.cpp:165-393):
+            # each chip builds both 6x6 systems on its row block, psums,
+            # and solves the trace-normalised fusion replicated
+            Tinv = se3.inverse(state.pred_pose)
+            Rm, tm = Tinv[:3, :3], Tinv[:3, 3]
+            pv = jnp.einsum("ij,jhw->ihw", Rm, state.pred_vmap) + tm[:, None, None]
+            pn = jnp.einsum("ij,jhw->ihw", Rm, state.pred_nmap)
+            pred_pyr = pyramid_from_maps(pv, pn, levels)
+            use_icp_term = cfg.icp_plus_rgbd and not cfg.frame_to_frame_rgbd
+            w2 = cfg.rgbd_icp_weight * cfg.rgbd_icp_weight
+            T = jnp.eye(4, dtype=jnp.float32)
+            icp_count = jnp.float32(0.0)
+            icp_res = jnp.float32(0.0)
+            for l in range(levels - 1, -1, -1):
+                it = int(iters[l]) if l < len(iters) else 0
+                if it == 0:
+                    continue
+                cam_l = cam.at_level(l)
+                vc, nc = curr_pyr[l]
+                rows_l = vc.shape[1] // n
+                r0 = idx * rows_l
+                vc_blk = jax.lax.dynamic_slice_in_dim(vc, r0, rows_l, 1)
+                nc_blk = jax.lax.dynamic_slice_in_dim(nc, r0, rows_l, 1)
+                int_blk = jax.lax.dynamic_slice_in_dim(
+                    curr_rgbd.intensity[l], r0, rows_l, 0
+                )
+                mg2 = MIN_GRAD2[min(l, len(MIN_GRAD2) - 1)]
+                tex_prev = pack_prev_texture(
+                    state.rgbd.intensity[l], state.rgbd.gradx[l],
+                    state.rgbd.grady[l], state.rgbd.depth[l],
+                )
+                prev_hw = state.rgbd.intensity[l].shape
+                vp, np_ = pred_pyr[l]
+
+                def make_body(bilinear):
+                    def body(_, carry):
+                        T, _, _ = carry
+                        rgbs = rgb_system(
+                            cam_l, T, vc_blk, int_blk, tex_prev, prev_hw,
+                            mg2,
+                            max_depth_delta=cfg.rgbd_max_depth_delta,
+                            axis_name="z", bilinear=bilinear,
+                        )
+                        rgbs = GNSystem(
+                            *[jax.lax.psum(x, "z") for x in rgbs]
+                        )
+                        A, b = rgbs.A, rgbs.b
+                        if use_icp_term:
+                            icp = icp_step(
+                                cam_l, T, vc_blk, nc_blk, vp, np_,
+                                cfg.icp_dist_thresh, sin_t,
+                            )
+                            icp = GNSystem(
+                                *[jax.lax.psum(x, "z") for x in icp]
+                            )
+                            s_rgb = 1.0 / (jnp.trace(A) + 1e-12)
+                            s_icp = 1.0 / (jnp.trace(icp.A) + 1e-12)
+                            A = s_rgb * A + w2 * s_icp * icp.A
+                            b = s_rgb * b + w2 * s_icp * icp.b
+                        xi, ok = solve_gn(A, b)
+                        ok = ok & (rgbs.count >= 30.0)
+                        T_new = se3.exp_se3(xi) @ T
+                        T = jnp.where(ok, T_new, T)
+                        return T, rgbs.count, rgbs.residual
+
+                    return body
+
+                # nearest texture taps for the coarse phase, bilinear
+                # for the final 2 (ops/rgbd.rgbd_icp_odometry phasing)
+                n_coarse = max(it - 2, 0)
+                if n_coarse:
+                    T, icp_count, icp_res = jax.lax.fori_loop(
+                        0, n_coarse, make_body(False),
+                        (T, icp_count, icp_res),
+                    )
+                T, icp_count, icp_res = jax.lax.fori_loop(
+                    0, it - n_coarse, make_body(True),
+                    (T, icp_count, icp_res),
+                )
+            # 0.3 m jump guard (RGBDOdometry.cpp:383-387)
+            jump = jnp.linalg.norm(T[:3, 3])
+            delta = jnp.where(
+                jump < cfg.rgbd_jump_reject, T,
+                jnp.eye(4, dtype=jnp.float32),
+            )
+        elif use_odometry:
             Tinv = se3.inverse(state.pred_pose)
             Rm, tm = Tinv[:3, :3], Tinv[:3, 3]
             pv = jnp.einsum("ij,jhw->ihw", Rm, state.pred_vmap) + tm[:, None, None]
@@ -601,7 +730,7 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
 
         new_state = ShardedTrackerState(
             vol=vol, pose=pose, pred_vmap=rc.vmap, pred_nmap=rc.nmap,
-            pred_pose=pose, frame=state.frame + 1,
+            pred_pose=pose, frame=state.frame + 1, rgbd=curr_rgbd,
         )
         out = ShardedStepOutputs(
             pose_global=pose.at[:3, 3].add(vol.origin),

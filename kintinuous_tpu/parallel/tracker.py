@@ -69,10 +69,6 @@ class ShardedTracker:
             self._fetch_all = make_fast_sharded_extract(cfg, self.mesh)
             self.state = make_fast_sharded_state(cfg, self.mesh)
         else:
-            if cfg.rgbd_odometry or cfg.icp_plus_rgbd:
-                raise NotImplementedError(
-                    "sharded RGB-D odometry requires fast_mode"
-                )
             self._step_odom = make_sharded_step(cfg, self.mesh, use_odometry=True)
             self._step_ext = make_sharded_step(cfg, self.mesh, use_odometry=False)
             self._fetch_all = make_sharded_extract(cfg, self.mesh)

@@ -220,3 +220,37 @@ def test_engine_multichip_end_to_end(mesh, tmp_path, fast):
     np.testing.assert_allclose(
         _sorted_rows(c4["points"]), _sorted_rows(c1["points"]), atol=1e-4
     )
+
+
+def test_sharded_dense_rgbd_matches_single_chip(mesh):
+    """Fused ICP+RGB-D on the DENSE sharded path (the last --devices
+    matrix hole: round-3 guarded it to fast_mode) must track like the
+    single-chip dense fused tracker (RGBDOdometry.cpp:165-393 role)."""
+    cfg = CFG.replace(icp_plus_rgbd=True)
+    fs = frames(4)
+
+    tr = Tracker(cfg)
+    for i, (d, c) in enumerate(fs):
+        tr.process_frame(d, c, i * 33333)
+    tr.flush()
+    pose_single = tr.poses[-1]
+
+    state = make_sharded_state(cfg, mesh)
+    step_ext = make_sharded_step(cfg, mesh, use_odometry=False)
+    step_odo = make_sharded_step(cfg, mesh, use_odometry=True)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    with mesh:
+        for i, (d, c) in enumerate(fs):
+            dj = jnp.asarray(d.astype(np.float32))
+            cj = jnp.asarray(c.astype(np.float32))
+            if i == 0:
+                state, out = step_ext(state, dj, cj, eye)
+            else:
+                state, out = step_odo(state, dj, cj, eye)
+    # the sharded fused solver phases its iterations like fast_sharded
+    # (nearest coarse taps), not byte-identically to rgbd_icp_odometry,
+    # so poses agree to sub-voxel rather than bitwise
+    assert float(out.icp_count) > 100.0
+    np.testing.assert_allclose(
+        np.asarray(out.pose_global), pose_single, atol=5e-3
+    )
