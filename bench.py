@@ -176,9 +176,9 @@ def _lap_cache(cfg):
         warmup_frames=10, revisit_frac=0.35,
     )
     n_frames = len(poses)
-    cache = f"{CACHE_DIR}/lap_{n_frames}.npz"
-    log = f"{CACHE_DIR}/lap_{n_frames}.klg"
-    gt = f"{CACHE_DIR}/lap_{n_frames}.gt"
+    cache = f"{CACHE_DIR}/lap2_{n_frames}.npz"  # v2: yaw-rich clutter scene
+    log = f"{CACHE_DIR}/lap2_{n_frames}.klg"
+    gt = f"{CACHE_DIR}/lap2_{n_frames}.gt"
     if not (os.path.exists(cache) and os.path.exists(log) and os.path.exists(gt)):
         scene = lap_scene(length=3.2, depth=2.4)
         generate_klg(log, cfg.camera, poses, scene=scene, depth_noise_mm=6.0,

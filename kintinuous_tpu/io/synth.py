@@ -488,15 +488,59 @@ def lap_scene(length: float = 3.2, depth: float = 2.4,
     iw = np.array([0.9, -hh, 0.9])
     ix = np.array([max(length - 0.9, 1.3), hh, max(depth - 0.9, 1.3)])
     cuboids.append(Cuboid(iw, ix))
-    # island face decorations (one per side) so the inner wall is not a
-    # bare plane sliding under yaw
+    # island face decorations: STAGGERED pairs per side (heights and
+    # along-face offsets differ), plus corner boxes on top. A single
+    # centred sphere per face left yaw nearly unobservable from the lap
+    # corners — the view there is all vertical planes + floor/ceiling,
+    # and point-to-plane ICP confidently rotated the wrong way
+    # (measured: 8.6 deg/frame wrong-direction lock-in at corner 1)
     cx, cz = (iw[0] + ix[0]) / 2.0, (iw[2] + ix[2]) / 2.0
-    spheres += [
-        Sphere(np.array([cx, 0.25, iw[2] - 0.18]), 0.22),
-        Sphere(np.array([cx, -0.2, ix[2] + 0.18]), 0.22),
-        Sphere(np.array([iw[0] - 0.18, 0.25, cz]), 0.22),
-        Sphere(np.array([ix[0] + 0.18, -0.2, cz]), 0.22),
-    ]
+    lx = ix[0] - iw[0]
+    lz = ix[2] - iw[2]
+    for f, (px, pz, nx, nz) in enumerate([
+        (cx - 0.25 * lx, iw[2] - 0.18, 0.0, -1.0),
+        (cx + 0.3 * lx, iw[2] - 0.22, 0.0, -1.0),
+        (cx - 0.3 * lx, ix[2] + 0.2, 0.0, 1.0),
+        (cx + 0.22 * lx, ix[2] + 0.16, 0.0, 1.0),
+        (iw[0] - 0.18, cz - 0.25 * lz, -1.0, 0.0),
+        (iw[0] - 0.23, cz + 0.3 * lz, -1.0, 0.0),
+        (ix[0] + 0.2, cz - 0.3 * lz, 1.0, 0.0),
+        (ix[0] + 0.15, cz + 0.22 * lz, 1.0, 0.0),
+    ]):
+        y = (-0.45, 0.3, -0.05, 0.55)[f % 4]
+        spheres.append(Sphere(np.array([px, y, pz]), 0.16 + 0.04 * (f % 3)))
+    # boxes leaning on the island corners (asymmetric, yaw-breaking)
+    for sx_, sz_ in ((iw[0], iw[2]), (ix[0], iw[2]), (iw[0], ix[2]),
+                     (ix[0], ix[2])):
+        dx = -0.38 if sx_ == iw[0] else 0.02
+        dz = -0.3 if sz_ == iw[2] else 0.04
+        cuboids.append(
+            Cuboid(
+                np.array([sx_ + dx, hh - 0.75, sz_ + dz]),
+                np.array([sx_ + dx + 0.36, hh, sz_ + dz + 0.26]),
+            )
+        )
+    # free-standing floor clutter in the corner pockets of the walkable
+    # ring (clear of the camera path, which hugs the path rectangle):
+    # crates + balls at varied sizes, like the lab clutter of loop.klg
+    for k, (qx, qz) in enumerate([
+        (-0.72, -0.72), (length + 0.72, -0.68), (length + 0.68, depth + 0.72),
+        (-0.68, depth + 0.7),
+    ]):
+        w = 0.22 + 0.05 * (k % 2)
+        cuboids.append(
+            Cuboid(
+                np.array([qx - w, hh - 0.5 - 0.12 * k, qz - w]),
+                np.array([qx + w, hh, qz + w]),
+            )
+        )
+        spheres.append(
+            Sphere(
+                np.array([qx + (0.3 if k % 2 else -0.3), hh - 0.62 - 0.12 * k,
+                          qz + (0.28 if k < 2 else -0.28)]),
+                0.14 + 0.03 * (k % 3),
+            )
+        )
 
     def wall_decor(p0, p1, normal_in):
         """Pillar + floor box + mid sphere along an outer wall from p0
@@ -507,26 +551,31 @@ def lap_scene(length: float = 3.2, depth: float = 2.4,
         seg = p1 - p0
         L = np.linalg.norm(seg)
         d = seg / L
-        s = 0.5
+        s = 0.4
         k = 0
         while s < L - 0.3:
             base = p0 + d * s
-            if k % 2 == 0:
+            if k % 3 == 0:
                 # floor-to-ceiling pillar
                 c = base + n * 0.14
                 lo = np.array([c[0] - 0.12, -hh, c[1] - 0.12])
                 hi = np.array([c[0] + 0.12, hh, c[1] + 0.12])
                 cuboids.append(Cuboid(np.minimum(lo, hi), np.maximum(lo, hi)))
-            elif k % 4 == 1:
+            elif k % 3 == 1:
+                # wall sphere at staggered height
                 c = base + n * 0.3
-                spheres.append(Sphere(np.array([c[0], 0.3, c[1]]), 0.28))
+                y = (-0.55, 0.35, -0.1, 0.6)[k % 4]
+                spheres.append(
+                    Sphere(np.array([c[0], y, c[1]]), 0.2 + 0.05 * (k % 3))
+                )
             else:
-                # floor box (y is image-down: +y is the floor)
-                c = base + n * 0.35
-                lo = np.array([c[0] - 0.2, hh - 0.45, c[1] - 0.2])
-                hi = np.array([c[0] + 0.2, hh, c[1] + 0.2])
+                # wall-mounted box at staggered height (shelf/cabinet)
+                c = base + n * 0.26
+                y0 = (hh - 0.45, -0.35, 0.15, hh - 0.9)[k % 4]
+                lo = np.array([c[0] - 0.22, y0, c[1] - 0.22])
+                hi = np.array([c[0] + 0.22, min(y0 + 0.42, hh), c[1] + 0.22])
                 cuboids.append(Cuboid(lo, hi))
-            s += 1.1
+            s += 0.75
             k += 1
 
     xm, zm = -margin, -margin
@@ -535,10 +584,12 @@ def lap_scene(length: float = 3.2, depth: float = 2.4,
     wall_decor((xM, zm), (xM, zM), (-1, 0))  # x-max wall, faces -x
     wall_decor((xM, zM), (xm, zM), (0, -1))  # z-max wall, faces -z
     wall_decor((xm, zM), (xm, zm), (1, 0))   # x-min wall, faces +x
-    # a few ceiling spheres for pitch/roll constraint on long sides
+    # ceiling spheres for pitch/roll constraint (lamps), one per side
     spheres += [
         Sphere(np.array([length * 0.3, -(hh - 0.35), zm + 0.5]), 0.25),
         Sphere(np.array([length * 0.8, -(hh - 0.35), zM - 0.5]), 0.25),
+        Sphere(np.array([xm + 0.5, -(hh - 0.3), depth * 0.4]), 0.22),
+        Sphere(np.array([xM - 0.5, -(hh - 0.3), depth * 0.7]), 0.22),
     ]
     return Scene(box_min=bmin, box_max=bmax, spheres=spheres, cuboids=cuboids)
 
