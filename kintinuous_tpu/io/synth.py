@@ -602,6 +602,7 @@ def lap_trajectory(
     warmup_frames: int = 10,
     revisit_frac: float = 0.35,
     sway: float = 0.03,
+    arc_radius: float = 0.0,
 ) -> List[np.ndarray]:
     """Rectangular lap around lap_scene's island, looking along the
     travel direction, then a partial second lap retracing the first —
@@ -610,6 +611,14 @@ def lap_trajectory(
     operational regime of the reference's loop.klg,
     README.md:164-206). Corners turn 90 deg over turn_frames
     (~3.2 deg/frame at 28 — within ICP's per-frame basin).
+
+    arc_radius > 0 rounds each corner into a quarter-circle arc walked
+    over turn_frames (tangent heading): humans arc corners, and an
+    in-place pivot's final frames — once near content has rotated out
+    of view — leave rotation/lateral-translation nearly ambiguous for
+    far-heavy depth (measured: a confident 0.23 m/frame lateral slide
+    at 512^3 with 6 mm noise). The arc keeps near structure flowing
+    through the whole turn.
 
     Returns the full pose list; frame count follows from geometry
     (2*(length+depth)/step walking + 4*turn_frames per lap)."""
@@ -623,6 +632,7 @@ def lap_trajectory(
     corners = [np.array([0.0, 0.0]), np.array([length, 0.0]),
                np.array([length, depth]), np.array([0.0, depth])]
     headings = [np.pi / 2.0, 0.0, -np.pi / 2.0, -np.pi]
+    r = float(arc_radius)
 
     events = []  # (kind, payload)
     for i in range(warmup_frames):
@@ -632,24 +642,36 @@ def lap_trajectory(
         s = seg % 4
         p0, p1 = corners[s], corners[(s + 1) % 4]
         th = headings[s] - 2.0 * np.pi * (seg // 4)
+        d = np.array([np.sin(th), np.cos(th)])  # walk direction (x,z)
         L = np.linalg.norm(p1 - p0)
-        n_walk = max(2, int(round(L / step)))
         last_seg = seg == n_laps_frames - 1
         frac_cap = 1.0
         if last_seg:
             # stop partway down the final revisit segment
             frac_cap = max(0.25, (4 * revisit_frac) - (seg - 4) + 0.0)
             frac_cap = min(1.0, frac_cap)
+        start_f = (r / L) if (r > 0 and seg > 0) else 0.0
+        end_f = frac_cap if last_seg else (1.0 - (r / L if r > 0 else 0.0))
+        n_walk = max(2, int(round((end_f - start_f) * L / step)))
         for k in range(n_walk):
-            f = (k + 1) / n_walk
-            if f > frac_cap:
-                break
+            f = start_f + (end_f - start_f) * (k + 1) / n_walk
             events.append(("pose", (p0 + (p1 - p0) * f, th)))
         if not last_seg:
             th_next = th - np.pi / 2.0
-            for k in range(turn_frames):
-                g = (k + 1) / turn_frames
-                events.append(("pose", (p1, th + (th_next - th) * g)))
+            if r > 0:
+                # quarter arc tangent to both legs: entry e = p1 - r*d,
+                # exit p1 + r*d2, centre o = e + r*d2
+                d2 = np.array([np.sin(th_next), np.cos(th_next)])
+                e = p1 - r * d
+                o = e + r * d2
+                for k in range(turn_frames):
+                    phi = (np.pi / 2.0) * (k + 1) / turn_frames
+                    pos = o - r * d2 * np.cos(phi) + r * d * np.sin(phi)
+                    events.append(("pose", (pos, th - phi)))
+            else:
+                for k in range(turn_frames):
+                    g = (k + 1) / turn_frames
+                    events.append(("pose", (p1, th + (th_next - th) * g)))
 
     poses = []
     for i, (_, (pxz, th)) in enumerate(events):
