@@ -185,6 +185,12 @@ class MapDeformation:
             "max_node_delta_m": max_delta,
             "n_nodes": len(self.graph.poses),
             "accepted": residual <= self.cfg.isam_thresh,
+            # keyframe times + the PR-measured relative pose, so a
+            # ground-truth-equipped harness can tag each candidate with
+            # its true pose error (gate precision/recall, VERDICT r4
+            # next-round #5)
+            "kf_t1": int(c.time1), "kf_t2": int(c.time2),
+            "T_1_2": np.asarray(c.T_1_2, np.float64).tolist(),
         })
         if residual > self.cfg.isam_thresh:  # (:256,336-343)
             self.graph.remove_factor(fid)

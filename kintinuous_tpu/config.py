@@ -161,6 +161,13 @@ class KintinuousConfig:
     rgbd_max_depth_delta: float = 0.07  # metres (RGBDOdometry.cpp:40)
     rgbd_jump_reject: float = 0.3  # metres (RGBDOdometry.cpp:383-387)
     rgbd_icp_weight: float = 10.0  # fused-solve ICP weight (RGBDOdometry.cpp:316-321)
+    # Constant-velocity motion prior: warm-start the odometry GN from
+    # the previous frame's delta and regularise each step toward it
+    # with this per-block relative weight (ops/reduce.add_motion_prior;
+    # 0 = off, matching the reference's identity start). ~0.01 biases
+    # observable directions by ~1% while pinning near-null directions
+    # (pivot-end rotation/lateral-slide ambiguity) to the prior.
+    odom_prior_weight: float = 0.0
 
     # --- raycast ---
     raycast_step_factor: float = 0.8  # * trunc_dist (ray_caster.cu:444)

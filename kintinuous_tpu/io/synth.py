@@ -317,7 +317,12 @@ def render_frame_sensor(
         [[0.9, 0.9, 0.9], [0.9, 0.4, 0.3], [0.3, 0.8, 0.4], [0.35, 0.45, 0.9]]
     )[np.clip(hit_id, 0, 3)]
     rgb = np.clip(base[..., None] * tint * 255.0, 0, 255).astype(np.uint8)
-    rgb[depth_mm == 0] = 0
+    # keep clean RGB where only the DEPTH dropped out: the real RGB
+    # camera is independent of the structured-light projector, so
+    # dropout edges must not inject frame-varying black gradients the
+    # photometric term could latch onto (ADVICE r4). Zero only true
+    # ray misses (the box interior makes these impossible in practice).
+    rgb[z <= 0] = 0
     return depth_mm, rgb
 
 

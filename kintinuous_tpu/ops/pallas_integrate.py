@@ -335,6 +335,14 @@ def _plan_blocks(
         Bz = B
     H, W = cam.height, cam.width
     Wp = -(-W // 128) * 128
+    # the packed scatter below encodes y0 in 5 bits (y0>>4) and x0 in
+    # 3 bits (x0>>7); wider/taller cameras would silently wrap the
+    # fields and decode wrong patch origins (ADVICE r4)
+    assert Hp <= 512 and Wp <= 1024, (
+        "packed plan encoding requires Hp<=512, Wp<=1024 "
+        f"(got Hp={Hp}, Wp={Wp})"
+    )
+    assert Bz * B * B < (1 << 23), "packed plan id field overflow"
     cls = classify_blocks(
         vol, cam, tables, T_cam_to_local, voxel_size, trunc_dist,
         resolution=R, z_blocks=Bz, z_block_offset=z_block_offset,

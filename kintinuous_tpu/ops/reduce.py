@@ -190,6 +190,47 @@ def solve_gn(A: jnp.ndarray, b: jnp.ndarray, damping: float = 1e-6):
     return jnp.where(ok, xi, 0.0), ok
 
 
+def prior_increment(T: jnp.ndarray, T_prior: jnp.ndarray) -> jnp.ndarray:
+    """First-order se3 increment xi_p = log(T_prior @ T^-1) in the
+    [omega, v] layout of the GN systems (exp_se3(xi_p) @ T ~= T_prior).
+    Both transforms are within a frame's motion of each other, so the
+    small-angle vee of the skew part is exact to O(theta^2)."""
+    E = T_prior @ se3.inverse(T)
+    w = 0.5 * jnp.stack(
+        [E[2, 1] - E[1, 2], E[0, 2] - E[2, 0], E[1, 0] - E[0, 1]]
+    )
+    return jnp.concatenate([w, E[:3, 3]])
+
+
+def add_motion_prior(
+    A: jnp.ndarray,
+    b: jnp.ndarray,
+    T: jnp.ndarray,
+    T_prior: jnp.ndarray,
+    weight: float,
+):
+    """Tikhonov prior pulling the GN step toward T_prior (constant-
+    velocity regularisation; no reference counterpart — the pivot-end
+    rotation/lateral-slide ambiguity this fixes is below the noise
+    floor of the reference's sensors-and-scenes regime).
+
+    The prior strength is PER-BLOCK RELATIVE: lambda_rot/trans =
+    weight * mean(diag of that 3x3 block), so a weight of 0.01 biases
+    well-observed directions by ~1% while fully pinning near-null
+    directions (data eigenvalue << block mean) to the prior — this is
+    exactly the observability-selective behaviour wanted at the end of
+    an in-place pivot, where rotation about y and lateral translation
+    collapse into one flat cost valley for far-heavy depth and the
+    solver otherwise picks a confident ~0.2 m/frame slide."""
+    lam_r = weight * (A[0, 0] + A[1, 1] + A[2, 2]) / 3.0
+    lam_t = weight * (A[3, 3] + A[4, 4] + A[5, 5]) / 3.0
+    w6 = jnp.concatenate(
+        [jnp.full((3,), lam_r, A.dtype), jnp.full((3,), lam_t, A.dtype)]
+    )
+    xi_p = prior_increment(T, T_prior)
+    return A + jnp.diag(w6), b + w6 * xi_p
+
+
 def icp_associate(
     cam: CameraIntrinsics,
     T_curr_to_prev: jnp.ndarray,
@@ -294,8 +335,13 @@ def icp_solve_level(
     axis_name: str | None = None,
     packed_prev: jnp.ndarray | None = None,
     reassoc_every: int = 1,
+    T_prior: jnp.ndarray | None = None,
+    prior_weight: float = 0.0,
 ):
     """Run `iterations` GN steps at one level (ICPOdometry.cpp:98-179).
+
+    T_prior + prior_weight > 0 adds the constant-velocity motion prior
+    (add_motion_prior) to every GN system before the solve.
 
     reassoc_every > 1 groups GN steps onto shared correspondences:
     association (the dominant gather) runs once per group, the
@@ -312,6 +358,15 @@ def icp_solve_level(
         zero = jnp.float32(0.0)
         return T_init, zero, zero
 
+    # prior_weight may be a TRACED scalar (tracker state field) so one
+    # compiled program serves every weight; weight 0 adds exactly zero
+    use_prior = T_prior is not None
+
+    def _solve(A, b, T):
+        if use_prior:
+            A, b = add_motion_prior(A, b, T, T_prior, prior_weight)
+        return solve_gn(A, b)
+
     if reassoc_every <= 1 or packed_prev is None:
         def body(_, carry):
             T, _, _ = carry
@@ -321,7 +376,7 @@ def icp_solve_level(
             )
             if axis_name is not None:
                 sys = GNSystem(*[jax.lax.psum(x, axis_name) for x in sys])
-            xi, ok = solve_gn(sys.A, sys.b)
+            xi, ok = _solve(sys.A, sys.b, T)
             ok = ok & (sys.count >= min_inliers)
             T_new = se3.exp_se3(xi) @ T
             T = jnp.where(ok, T_new, T)
@@ -342,7 +397,7 @@ def icp_solve_level(
         )
         if axis_name is not None:
             sys = GNSystem(*[jax.lax.psum(x, axis_name) for x in sys])
-        xi, ok = solve_gn(sys.A, sys.b)
+        xi, ok = _solve(sys.A, sys.b, T)
         ok = ok & (sys.count >= min_inliers)
         T = jnp.where(ok, se3.exp_se3(xi) @ T, T)
         return T, sys.count, sys.residual, d, n, in_img

@@ -224,8 +224,15 @@ def rgbd_icp_odometry(
     jump_reject_m: float = 0.3,
     min_inliers: float = 30.0,
     reassoc_every: int = 1,
+    T_init=None,
+    T_prior=None,
+    prior_weight=0.0,
 ):
     """Fused dense RGB-D (+ optional ICP) coarse-to-fine odometry.
+
+    T_prior (+ prior_weight, possibly a traced scalar): constant-
+    velocity motion prior on the fused system
+    (ops/reduce.add_motion_prior); T_init warm-starts the solve.
 
     Returns (T_curr_to_prev, rgb_inliers, sigma). The 0.3 m jump guard
     (RGBDOdometry.cpp:383-387) rejects divergent solutions to identity.
@@ -237,7 +244,9 @@ def rgbd_icp_odometry(
     """
     levels = len(curr_pyr)
     sin_t = math.sin(math.radians(angle_thresh_deg))
-    T = jnp.eye(4, dtype=jnp.float32)
+    use_prior = T_prior is not None
+    T0 = T_init if T_init is not None else jnp.eye(4, dtype=jnp.float32)
+    T = T0
     count = jnp.float32(0.0)
     sigma = jnp.float32(0.0)
     w2 = icp_weight * icp_weight
@@ -269,6 +278,10 @@ def rgbd_icp_odometry(
                 s_icp = 1.0 / (jnp.trace(icp.A) + 1e-12)
                 A = s_rgb * A + w2 * s_icp * icp.A
                 b = s_rgb * b + w2 * s_icp * icp.b
+            if use_prior:
+                from kintinuous_tpu.ops.reduce import add_motion_prior
+
+                A, b = add_motion_prior(A, b, T, T_prior, prior_weight)
             xi, ok = solve_gn(A, b)
             ok = ok & (rgb.count >= min_inliers)
             T_new = se3.exp_se3(xi) @ T
@@ -338,6 +351,9 @@ def rgbd_icp_odometry(
         T, count, sigma = run_phase((T, count, sigma), n_coarse, False)
         T, count, sigma = run_phase((T, count, sigma), n_fine, True)
     # tracking-failure guard: reject > jump_reject_m translations
+    # (RGBDOdometry.cpp:383-387); with a warm start active the rejected
+    # frame falls back to the start (constant velocity) instead of a
+    # full stop
     jump = jnp.linalg.norm(T[:3, 3])
-    T = jnp.where(jump < jump_reject_m, T, jnp.eye(4, dtype=jnp.float32))
+    T = jnp.where(jump < jump_reject_m, T, T0)
     return T, count, sigma

@@ -119,19 +119,21 @@ class DistributedPoseGraph(PoseGraph):
         self._jit_cache = {}
 
     def _dist_gn(self, iters: int):
-        key = iters
+        key = (iters, self.huber_delta)
         if key not in self._jit_cache:
             axis = self._axis
+            hd = self.huber_delta
 
             @partial(
                 shard_map,
                 mesh=self.mesh,
-                in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
-            def gn(poses, fi, fj, fZinv, fw):
-                return gn_core(poses, fi, fj, fZinv, fw, iters, axis_name=axis)
+            def gn(poses, fi, fj, fZinv, fw, fl):
+                return gn_core(poses, fi, fj, fZinv, fw, iters,
+                               axis_name=axis, fl=fl, huber_delta=hd)
 
             self._jit_cache[key] = jax.jit(gn)
         return self._jit_cache[key]
@@ -147,10 +149,12 @@ class DistributedPoseGraph(PoseGraph):
         fj = np.zeros(FB, np.int32)
         fZ = np.tile(np.eye(4, dtype=np.float32), (FB, 1, 1))
         fw = np.zeros(FB, np.float32)
+        fl = np.zeros(FB, np.float32)
         fi[:F] = self._fi
         fj[:F] = self._fj
         fZ[:F] = np.array(self._fZ, np.float32)
         fw[:F] = self._fw
+        fl[:F] = np.array(self._floop, np.float32)
         rep = NamedSharding(self.mesh, P())
         shd = NamedSharding(self.mesh, P(self._axis))
         poses = jax.device_put(np.array(self.poses, np.float32), rep)
@@ -160,6 +164,7 @@ class DistributedPoseGraph(PoseGraph):
             jax.device_put(fj, shd),
             jax.device_put(np.linalg.inv(fZ).astype(np.float32), shd),
             jax.device_put(fw, shd),
+            jax.device_put(fl, shd),
         )
         out, chi2 = self._dist_gn(int(iters))(*args)
         out = np.asarray(jax.device_get(out), np.float64)

@@ -485,10 +485,33 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
     slice_spec = ExtractResult(
         points=P("z"), colors=P("z"), weights=P("z"), count=P("z")
     )
+    inc_mesh = cfg.incremental_mesh
+    mvc, mfc = cfg.mesh_vertex_capacity, cfg.mesh_face_capacity
+    if inc_mesh:
+        from kintinuous_tpu.ops.surface_nets import MeshResult, extract_mesh
+
+        mesh_spec = MeshResult(
+            vertices=P(), colors=P(), faces=P(),
+            n_vertices=P(), n_faces=P(), cells=P(),
+        )
+        mesh_specs = (mesh_spec, mesh_spec, mesh_spec)
+
+        def _empty_mesh():
+            return MeshResult(
+                vertices=jnp.zeros((mvc, 3), jnp.float32),
+                colors=jnp.zeros((mvc, 3), jnp.float32),
+                faces=jnp.zeros((mfc, 3), jnp.int32),
+                n_vertices=jnp.int32(0),
+                n_faces=jnp.int32(0),
+                cells=jnp.zeros((mvc, 3), jnp.int32),
+            )
+    else:
+        mesh_specs = ()
     out_spec = ShardedStepOutputs(
         pose_global=P(), shift=P(),
         slices=(slice_spec, slice_spec, slice_spec),
         icp_count=P(), icp_residual=P(), raycast_fallback=P(),
+        mesh_patches=mesh_specs,
     )
 
     @partial(
@@ -633,6 +656,9 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
         # --- shift: slab-local band extraction, then clears ---
         vol = state.vol
         empty3 = (_empty_extract(cap), _empty_extract(cap), _empty_extract(cap))
+        mesh_patches = ()
+        if inc_mesh:
+            mesh_patches = (_empty_mesh(), _empty_mesh(), _empty_mesh())
         if cfg.static_mode:
             shift = jnp.zeros(3, jnp.int32)
             slices = empty3
@@ -668,6 +694,72 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
                 axis_slice(1, (R, S + OV, R)),
                 axis_slice(2, (R, R, S + OV)),
             )
+
+            if inc_mesh:
+                # band mesh patches on the DENSE sharded path (VERDICT
+                # r4 next-round #9 — mirrors fast_sharded.mesh_axis):
+                # each chip contributes the z-planes it owns of the
+                # departing band's logical box, a psum assembles the
+                # box REPLICATED, and every chip runs the same
+                # surface-nets extraction — identical coords to the
+                # single-chip band patches, so cell-identity welding
+                # composes them with the final volume mesh at save.
+                def mesh_axis(axis):
+                    s = shift[axis]
+                    ext_xyz = [R, R, R]
+                    ext_xyz[axis] = S + OV + 1
+
+                    def ex(v):
+                        lo3 = jnp.zeros(3, jnp.int32).at[axis].set(
+                            jnp.where(s > 0, 0, R - S - OV)
+                        )
+                        # mod-wrap runs (NOT clamp) so the assembled box
+                        # reproduces the single-chip dense band mesh
+                        # (_band_mesh_patches gathers through vol.wrap
+                        # with logical mod-R addressing) bit-for-bit
+                        phys = [
+                            jnp.mod(
+                                lo3[a]
+                                + jnp.arange(ext_xyz[a], dtype=jnp.int32)
+                                + v.wrap[a],
+                                R,
+                            )
+                            for a in range(3)
+                        ]
+                        lz = phys[2] - idx * slab
+                        own = (lz >= 0) & (lz < slab)
+                        lzc = jnp.clip(lz, 0, slab - 1)
+                        gi = (
+                            lzc[:, None, None],
+                            phys[1][None, :, None],
+                            phys[0][None, None, :],
+                        )
+                        t_box = jnp.where(own[:, None, None], v.tsdf[gi], 0.0)
+                        c_box = jnp.where(
+                            own[:, None, None], v.cw[gi], jnp.uint32(0)
+                        )
+                        t_box = jax.lax.psum(t_box, "z")
+                        c_box = jax.lax.psum(c_box, "z")
+                        view = VolumeState(
+                            tsdf=t_box, cw=c_box,
+                            wrap=jnp.zeros(3, jnp.int32), origin=v.origin,
+                        )
+                        size_mesh = [R, R, R]
+                        size_mesh[axis] = S + OV
+                        # lo=0 over the pre-gathered box: the wrap-branch
+                        # gather inside extract_mesh becomes the identity
+                        # (each axis run is exactly the box extent), and
+                        # coord_offset restores the band's logical coords
+                        return extract_mesh(
+                            view, jnp.zeros(3, jnp.int32), tuple(size_mesh),
+                            vsz, mvc, mfc, coord_offset=lo3,
+                        )
+
+                    return jax.lax.cond(
+                        s != 0, ex, lambda v: _empty_mesh(), vol
+                    )
+
+                mesh_patches = (mesh_axis(0), mesh_axis(1), mesh_axis(2))
 
             def band_mask(axis, phys):
                 s = shift[axis]
@@ -739,6 +831,7 @@ def make_sharded_step(cfg: KintinuousConfig, mesh: Mesh, use_odometry: bool = Tr
             icp_count=icp_count,
             icp_residual=icp_res,
             raycast_fallback=jnp.float32(0.0),
+            mesh_patches=mesh_patches,
         )
         return new_state, out
 

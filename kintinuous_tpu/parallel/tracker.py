@@ -46,10 +46,6 @@ class ShardedTracker:
     def __init__(self, cfg: KintinuousConfig, mesh=None,
                  slice_callback: Optional[Callable[[CloudSlice], None]] = None,
                  mesh_callback=None):
-        if cfg.incremental_mesh and not cfg.fast_mode:
-            raise NotImplementedError(
-                "sharded incremental mesh requires fast_mode"
-            )
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else build_mesh(cfg.devices)
         self.n = self.mesh.shape["z"]

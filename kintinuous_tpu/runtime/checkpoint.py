@@ -102,6 +102,7 @@ def _tracker_payload(tracker: Tracker):
         "pred_nmap": np.asarray(st.pred_nmap),
         "pred_pose": np.asarray(st.pred_pose),
         "frame": np.asarray(st.frame),
+        "prev_delta": np.asarray(st.prev_delta),
         "poses": np.asarray(tracker.poses),
         "stamps_us": np.asarray(tracker.stamps_us, np.int64),
         "shift_log": np.asarray(tracker.shift_log, np.int32).reshape(-1, 3),
@@ -145,6 +146,10 @@ def _restore_tracker(data, meta, tracker: Tracker) -> Tracker:
         frame=jnp.asarray(data["frame"]),
         rgbd=rgbd,
         dc=tracker.state.dc,  # config-derived, keep the fresh value
+        prev_delta=jnp.asarray(
+            data.get("prev_delta", np.eye(4, dtype=np.float32))
+        ),
+        pw=tracker.state.pw,  # config-derived, keep the fresh value
     )
     tracker.poses = [p for p in data["poses"]]
     tracker.stamps_us = [int(t) for t in data["stamps_us"]]

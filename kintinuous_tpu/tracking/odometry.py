@@ -75,12 +75,19 @@ def icp_odometry(
     angle_thresh_deg: float = 20.0,
     T_init: Optional[jnp.ndarray] = None,
     reassoc_every: int = 1,
+    T_prior: Optional[jnp.ndarray] = None,
+    prior_weight: float = 0.0,
 ):
     """Coarse-to-fine frame-to-model point-to-plane ICP.
 
     iterations[l] = GN steps at level l (0 = finest), matching the
     reference schedule convention (ICPOdometry.cpp:44-55).
     Returns (T_curr_to_prev, inlier_count_finest, residual_finest).
+
+    T_prior with prior_weight > 0 regularises every GN step toward the
+    given transform (constant-velocity prior — see
+    ops/reduce.add_motion_prior); pass it as T_init too so association
+    starts from the predicted motion.
     """
     from kintinuous_tpu.ops.reduce import pack_maps
 
@@ -104,6 +111,7 @@ def icp_odometry(
         T, count, residual = icp_solve_level(
             cam.at_level(l), T, vc, nc, vp, np_, iters, dist_thresh, sin_t,
             packed_prev=packed, reassoc_every=reassoc_every if l == 0 else 1,
+            T_prior=T_prior, prior_weight=prior_weight,
         )
     return T, count, residual
 

@@ -119,3 +119,58 @@ def test_icp_covariance_shape_and_informativeness():
     v2, n2 = maps_of(wall)
     cov_wall = np.asarray(icp_covariance(cam, jnp.eye(4), v2, n2, v2, n2))
     assert np.trace(cov_wall) > 10.0 * np.trace(cov_rich)
+
+
+def test_prior_increment_recovers_small_motion():
+    from kintinuous_tpu.geometry import se3
+    from kintinuous_tpu.ops.reduce import prior_increment
+
+    xi = jnp.asarray([0.02, -0.05, 0.01, 0.03, -0.01, 0.02], jnp.float32)
+    T_prior = se3.exp_se3(xi)
+    out = np.asarray(prior_increment(jnp.eye(4, dtype=jnp.float32), T_prior))
+    np.testing.assert_allclose(out, np.asarray(xi), atol=2e-3)
+
+
+def test_motion_prior_pins_null_direction_only():
+    """A system with one near-null direction (the pivot-end
+    rotation/lateral ambiguity): the prior must supply the prior's
+    component along the null direction while leaving well-observed
+    directions essentially untouched (<2% bias at weight 0.01)."""
+    from kintinuous_tpu.geometry import se3
+    from kintinuous_tpu.ops.reduce import add_motion_prior, solve_gn
+
+    rng = np.random.default_rng(0)
+    # data term: strong in 5 directions, near-null in one mixed
+    # direction u = (w_y + v_x/z) / norm with z = 2 m lever
+    z = 2.0
+    u = np.zeros(6)
+    u[1] = 1.0  # omega_y
+    u[3] = z    # v_x (image-equivalent mixing)
+    u /= np.linalg.norm(u)
+    Q = np.linalg.qr(
+        np.concatenate([u[:, None], rng.normal(size=(6, 5))], axis=1)
+    )[0]
+    evals = np.array([1e-6, 3.0, 2.5, 2.0, 1.0, 0.8]) * 1e4
+    A = (Q * evals) @ Q.T
+    # true motion: pure rotation about y (pivot), 3.5 deg
+    xi_true = np.array([0.0, 0.061, 0.0, 0.0, 0.0, 0.0], np.float32)
+    b = A @ xi_true
+    # corrupt b along the null direction (noise-induced slide pressure)
+    b_noisy = b + u * 2.0 * 1e-2 * evals[0] * 50
+
+    A_j = jnp.asarray(A, jnp.float32)
+    b_j = jnp.asarray(b_noisy, jnp.float32)
+    T_prior = se3.exp_se3(jnp.asarray(xi_true))
+    T_id = jnp.eye(4, dtype=jnp.float32)
+
+    xi_no, _ = solve_gn(A_j, b_j)
+    Ap, bp = add_motion_prior(A_j, b_j, T_id, T_prior, 0.01)
+    xi_p, _ = solve_gn(Ap, bp)
+
+    err_no = np.linalg.norm(np.asarray(xi_no) - xi_true)
+    err_p = np.linalg.norm(np.asarray(xi_p) - xi_true)
+    assert err_p < 0.1 * err_no, (err_no, err_p)
+    # well-observed components stay within 2%
+    proj = np.eye(6) - np.outer(u, u)
+    obs_err = np.linalg.norm(proj @ (np.asarray(xi_p) - xi_true))
+    assert obs_err < 0.02 * np.linalg.norm(xi_true)

