@@ -43,6 +43,12 @@ import numpy as np
 
 BATCH = 32
 CACHE_DIR = "/root/repo/.bench_cache"
+# constant-velocity odometry-prior weight for the accuracy runs (lap,
+# arc lap, proxies). TRACED (config.odom_prior_weight docstring) so it
+# changes no compiled program; throughput rows keep the default 0.
+PRIOR_W = 0.01
+# arc-cornered lap variant radius (m) — benched alongside the pivot lap
+ARC_RADIUS = 0.45
 T_START = time.time()
 BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "2400"))
 
@@ -155,8 +161,12 @@ def _bench_orbit(cfg, frames, n_frames=96, warm_per_frame_odometry=False):
     return fps, fb_mean
 
 
-def _lap_cache(cfg):
+def _lap_cache(cfg, arc_radius=0.0):
     """Render (or load cached) LAP frames + GT + klg.
+
+    arc_radius > 0 selects the arc-cornered lap variant (humans arc
+    corners; io/synth.lap_trajectory docstring) — benched ALONGSIDE the
+    in-place-pivot lap, which stays as the stress row (VERDICT r4 #1b).
 
     The loop-RICH scenario (VERDICT r3 next-round #1): a rectangular
     lap around lap_scene's island looking along the travel direction,
@@ -173,12 +183,16 @@ def _lap_cache(cfg):
     os.makedirs(CACHE_DIR, exist_ok=True)
     poses = lap_trajectory(
         length=3.2, depth=2.4, step=0.055, turn_frames=26,
-        warmup_frames=10, revisit_frac=0.35,
+        warmup_frames=10, revisit_frac=0.35, arc_radius=arc_radius,
     )
     n_frames = len(poses)
-    cache = f"{CACHE_DIR}/lap2_{n_frames}.npz"  # v2: yaw-rich clutter scene
-    log = f"{CACHE_DIR}/lap2_{n_frames}.klg"
-    gt = f"{CACHE_DIR}/lap2_{n_frames}.gt"
+    # v2: yaw-rich clutter scene; arc variants keyed by radius in cm
+    key = f"lap2_{n_frames}" if arc_radius <= 0 else (
+        f"lap2arc{int(round(arc_radius * 100))}_{n_frames}"
+    )
+    cache = f"{CACHE_DIR}/{key}.npz"
+    log = f"{CACHE_DIR}/{key}.klg"
+    gt = f"{CACHE_DIR}/{key}.gt"
     if not (os.path.exists(cache) and os.path.exists(log) and os.path.exists(gt)):
         scene = lap_scene(length=3.2, depth=2.4)
         generate_klg(log, cfg.camera, poses, scene=scene, depth_noise_mm=6.0,
@@ -249,21 +263,43 @@ def _bench_traversal(cfg_base):
     RESULTS["traversal_shift_events_frontend"] = n_shift
 
     # --- C2: full pipeline accuracy (untimed; tunnel-fed klg) --------
-    # batched at the shared batch size: per-frame dispatch costs a
-    # tunnel round trip per frame; the pooled slice accumulator keeps
-    # EVERY shift event per batch, exported drops below must be 0.
-    # Loop gates run at the reference-DEFAULT isam_thresh=10
-    # (Deformation.cpp:256): the delta-chi2 gate (pose_graph.chi2 -
-    # deform_runner._add_loop) judges each candidate by the chi2 it
-    # ADDS, so no scenario-fitted threshold is needed (round 3 shipped
-    # isam_thresh=30 fitted to the corridor's noise regime).
+    # Fused ICP+RGB-D (the reference's -ri, built for the low-geometry
+    # corner regime) + the constant-velocity motion prior — the two
+    # levers VERDICT r4 #1/#2 demanded in the flagship accuracy run.
+    res = _engine_lap_run(cfg, log, gt, "bench_out")
+    mark("C2 engine run done")
+    RESULTS.update({f"traversal_{k}": v for k, v in res.items()})
+
+
+def _engine_lap_run(cfg, log, gt, save_name, fused=True, prior_w=None):
+    """Full-pipeline (slices -> PR -> pose graph -> deformation)
+    accuracy run on a lap klg; returns metrics keyed without prefix.
+
+    Odometry is fused ICP+RGB-D (-ri role, RGBDOdometry.cpp:165-393)
+    with the constant-velocity prior (cfg docstring). Batched at the
+    shared batch size: per-frame dispatch costs a tunnel round trip per
+    frame; the pooled slice accumulator keeps EVERY shift event per
+    batch (exported drops must be 0). Loop gates run at the
+    reference-DEFAULT isam_thresh=10 (Deformation.cpp:256): the
+    delta-chi2 gate judges each candidate by the chi2 it ADDS, with
+    Huber-weighted loop factors so a large genuine correction stays
+    bounded-influence. Every loop candidate is GT-classified
+    (eval/loop_gate) -> gate precision/recall in the JSON."""
+    import numpy as np
+
+    from kintinuous_tpu.eval.ate import absolute_trajectory_error
+    from kintinuous_tpu.eval.loop_gate import tag_loop_log
+    from kintinuous_tpu.io.tum import load_trajectory
+    from kintinuous_tpu.runtime.engine import SlamEngine
+
     cfg_e = cfg.replace(
         log_file=log, online_deformation=True, loop_throttle_s=0.0,
-        place_rec_motion_thresh=0.15, save_file=f"{CACHE_DIR}/bench_out",
+        place_rec_motion_thresh=0.15, save_file=f"{CACHE_DIR}/{save_name}",
         offline_batched=True, offline_batch_size=BATCH,
+        icp_plus_rgbd=fused,
+        odom_prior_weight=PRIOR_W if prior_w is None else prior_w,
     )
     engine = SlamEngine(cfg_e).run()
-    mark("C2 engine run done")
     tr = engine.tracker
     gs, gp = load_trajectory(gt)
     ate_pre, _ = absolute_trajectory_error(
@@ -272,34 +308,36 @@ def _bench_traversal(cfg_base):
     outs = engine.save()
     es, ep = load_trajectory(outs["poses"])
     ate_post, _ = absolute_trajectory_error(gs, gp, es, ep)
-    RESULTS.update({
-        "traversal_ate_preloop_cm": round(ate_pre * 100.0, 2),
-        "traversal_ate_final_cm": round(ate_post * 100.0, 2),
-        "traversal_shift_events": int(
+    gate_stats = tag_loop_log(engine.deformation.loop_log, gs, gp)
+    return {
+        "ate_preloop_cm": round(ate_pre * 100.0, 2),
+        "ate_final_cm": round(ate_post * 100.0, 2),
+        "shift_events": int(
             (np.array(tr.shift_log) != 0).any(axis=1).sum()
         ),
-        "traversal_slices": len(tr.slices),
-        "traversal_loops_accepted": engine.deformation.n_loops_accepted,
-        "traversal_loops_rejected": engine.deformation.n_loops_rejected,
-        "traversal_pr_gates": dict(engine.place_rec.gate_stats),
-        "traversal_slices_dropped": int(
+        "slices": len(tr.slices),
+        "loops_accepted": engine.deformation.n_loops_accepted,
+        "loops_rejected": engine.deformation.n_loops_rejected,
+        "pr_gates": dict(engine.place_rec.gate_stats),
+        "slices_dropped": int(
             sum(tr.stats.get("batch_slices_dropped", []))
         ),
         # tracking health: min ICP inliers over the walk — a lost-track
         # run reports garbage ATE, this makes it visible in the JSON
-        "traversal_icp_min": float(min(tr.stats["icp_count"][2:], default=0.0)),
-        # per-attempt gate diagnostics (delta-chi2 + how far the
-        # correction moved the graph) — the isolation surface VERDICT
-        # r3 weak #1 asked for
-        "traversal_loop_log": [
+        "icp_min": float(min(tr.stats["icp_count"][2:], default=0.0)),
+        # per-attempt gate diagnostics: delta-chi2, correction size,
+        # and the GT-classified pose error of the candidate itself
+        "loop_log": [
             {
                 "chi2_delta": round(e["chi2_delta"], 3),
                 "max_node_delta_m": round(e["max_node_delta_m"], 4),
                 "accepted": e["accepted"],
+                "gt_error_m": e.get("gt_error_m"),
             }
             for e in engine.deformation.loop_log
         ],
-    })
+        "gate_stats": gate_stats,
+    }
 
 
 def _stage_table(cfg):
@@ -440,7 +478,9 @@ def _bench_desk_proxy(cfg_base):
     from kintinuous_tpu.eval.ate import absolute_trajectory_error
     from kintinuous_tpu.tracking.tracker import Tracker
 
-    cfg = cfg_base.replace(static_mode=True, icp_plus_rgbd=True)
+    cfg = cfg_base.replace(
+        static_mode=True, icp_plus_rgbd=True, odom_prior_weight=PRIOR_W,
+    )
     depths, rgbs, poses = _desk_cache(cfg)
     n_frames = len(poses)
     mark(f"desk proxy frames ready ({n_frames})")
@@ -476,6 +516,88 @@ def _bench_desk_proxy(cfg_base):
     mark(f"desk proxy ATE {ate*100:.2f} cm over {n_done} frames")
 
 
+def _lr_cache(cfg, n_frames=417):
+    """lr kt2 PROXY frames: ICL-NUIM-class living room (large extent,
+    low clutter density — long weakly-conditioned-ICP stretches) swept
+    by a slow 360-degree outward pan, rendered through the same
+    structured-light SensorModel as the desk proxy. The real lr kt2 is
+    unfetchable here (zero egress, same as fr1/desk); this plays
+    BASELINE config 2's role: fused ICP+RGB-D odometry WITH volume
+    shifting engaged. n_frames makes (n-1-BATCH) a multiple of BATCH."""
+    from kintinuous_tpu.io.synth import (
+        SensorModel, living_room_scene, living_room_trajectory,
+        render_frame_sensor,
+    )
+
+    cache = f"{CACHE_DIR}/lr1_{n_frames}.npz"
+    poses = living_room_trajectory(n_frames=n_frames)
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return d["depths"], d["rgbs"], poses
+    scene = living_room_scene()
+    model = SensorModel()
+    rng = np.random.default_rng(17)
+    depths, rgbs = [], []
+    for i, T in enumerate(poses):
+        T_next = poses[i + 1] if i + 1 < len(poses) else None
+        dm, rgb = render_frame_sensor(scene, cfg.camera, T, model, rng, T_next)
+        depths.append(dm)
+        rgbs.append(rgb)
+    depths = np.stack(depths)
+    rgbs = np.stack(rgbs)
+    np.savez_compressed(cache, depths=depths, rgbs=rgbs)
+    return depths, rgbs, poses
+
+
+def _bench_lr_proxy(cfg_base):
+    """E: lr kt2-proxy accuracy — fused ICP+RGB-D, dynamic cube
+    (volume shifting ENGAGES over the ~6 m swept path), device-resident
+    batched tracking, ATE vs ground truth."""
+    import jax
+    import jax.numpy as jnp
+
+    from kintinuous_tpu.eval.ate import absolute_trajectory_error
+    from kintinuous_tpu.tracking.tracker import Tracker
+
+    cfg = cfg_base.replace(
+        dynamic_cube=True, icp_plus_rgbd=True, odom_prior_weight=PRIOR_W,
+    )
+    depths, rgbs, poses = _lr_cache(cfg)
+    n_frames = len(poses)
+    mark(f"lr proxy frames ready ({n_frames})")
+    tracker = Tracker(cfg)
+    tracker.collect_slices = False
+    tracker.process_frames(
+        [(depths[i], rgbs[i], i * 33333) for i in range(1 + BATCH)]
+    )
+    dev_d = jnp.asarray(depths.astype(np.uint16))
+    dev_c = jnp.asarray(rgbs.astype(np.uint8))
+    gather = jax.jit(lambda ds, cs, idx: (ds[idx], cs[idx]))
+    k = 1 + BATCH
+    while k + BATCH <= n_frames:
+        idx = jnp.arange(k, k + BATCH, dtype=jnp.int32)
+        d_b, c_b = gather(dev_d, dev_c, idx)
+        tracker.process_batch_device(
+            d_b, c_b, [i * 33333 for i in range(k, k + BATCH)]
+        )
+        k += BATCH
+    for i in range(k, n_frames):
+        tracker.process_frame(depths[i], rgbs[i], i * 33333)
+    tracker.flush()
+    stamps = np.arange(n_frames) / 30.0
+    ate, _ = absolute_trajectory_error(
+        stamps, np.array(poses),
+        np.array(tracker.stamps_us) / 1e6, np.array(tracker.poses),
+    )
+    RESULTS["proxy_lr_ate_cm"] = round(ate * 100.0, 2)
+    RESULTS["proxy_lr_frames"] = int(len(tracker.poses))
+    RESULTS["proxy_lr_shift_events"] = int(
+        (np.array(tracker.shift_log) != 0).any(axis=1).sum()
+    )
+    mark(f"lr proxy ATE {ate*100:.2f} cm, "
+         f"{RESULTS['proxy_lr_shift_events']} shifts")
+
+
 def _write_notes():
     r = RESULTS
 
@@ -494,12 +616,23 @@ tunnel-fed. Phases completed: {', '.join(r['phases_done']) or 'none'}.
 | A. orbit, ICP-only, 640x480/512^3 (headline) | fps | {g('value')} |
 | B. orbit, fused ICP+RGB-D (-ri role) | fps | {g('fps_fused_rgbd')} |
 | C. lap traversal (shift-heavy, loop-rich, -dc) | fps (frontend) | {g('fps_traversal')} |
-| C. lap accuracy (full engine) | pre-loop ATE | {g('traversal_ate_preloop_cm')} cm |
-| C. lap accuracy (full engine) | final ATE | {g('traversal_ate_final_cm')} cm |
+| C. pivot lap accuracy (full engine, fused -ri + prior) | pre-loop ATE | {g('traversal_ate_preloop_cm')} cm |
+| C. pivot lap accuracy (full engine, fused -ri + prior) | final ATE | {g('traversal_ate_final_cm')} cm |
 | C. lap | shift events / slices / loops acc | {g('traversal_shift_events', '{}')} / {g('traversal_slices', '{}')} / {g('traversal_loops_accepted', '{}')} |
 | C. lap | slices dropped | {g('traversal_slices_dropped', '{}')} |
 | C. lap | min ICP inliers | {g('traversal_icp_min', '{:.0f}')} |
+| C3. arc lap ({ARC_RADIUS} m corners) | pre-loop ATE | {g('arc_lap_ate_preloop_cm')} cm |
+| C3. arc lap ({ARC_RADIUS} m corners) | final ATE | {g('arc_lap_ate_final_cm')} cm |
 | D. fr1/desk proxy (sensor model, fused -ri) | ATE | {g('proxy_desk_ate_cm')} cm |
+| E. lr kt2 proxy (sensor model, fused -ri, shifting) | ATE | {g('proxy_lr_ate_cm')} cm |
+| E. lr kt2 proxy | shift events | {g('proxy_lr_shift_events', '{}')} |
+
+Loop-gate GT classification (eval/loop_gate; every PR candidate tagged
+with its true relative-pose error from lap GT): pivot lap precision
+{json.dumps(r.get('traversal_gate_stats'))}; arc lap
+{json.dumps(r.get('arc_lap_gate_stats'))}. Accuracy runs use the
+constant-velocity motion prior at weight {PRIOR_W} (traced;
+config.odom_prior_weight docstring).
 
 Pallas raycast measurement-fallback fraction (orbit, in-volume rays):
 {g('pallas_fallback_frac', '{:.4f}')}.
@@ -523,6 +656,9 @@ resolution fails for any external host (zero egress). Attempted:
     curl -sI https://cvg.cit.tum.de/rgbd/dataset/freiburg1/rgbd_dataset_freiburg1_desk.tgz
     -> urllib.error.URLError: [Errno -2] Name or service not known
 
+Re-attempted 2026-08-22 (round 5) via tools/fetch_tum.py: same
+NXDOMAIN — the blocker stands.
+
 (`tools/fetch_tum.py` reproduces the attempt and converts to .klg via
 `tools/tum_to_klg.py` when a dataset IS reachable.) Row D above is the
 highest-fidelity proxy instead: the cluttered desk scene + fr1/desk-like
@@ -533,6 +669,13 @@ axial noise sigma(z)=1.2+1.9(z-0.4)^2 mm, inverse-depth quantisation
 constants from the published Kinect noise studies) — tracked with fused
 ICP+RGB-D at full production shapes. Reference-class systems report
 ~4 cm ATE on the real fr1/desk.
+
+Row E plays BASELINE config 2 (ICL-NUIM lr kt2, also unfetchable):
+living-room scene at lr kt2 scale (5.2 x 4.2 m, furniture hugging the
+walls so most viewpoints see one dominant plane — the low-geometry
+regime fused -ri exists for), 360-degree outward sweep at kt2's gentle
+motion profile (~0.26 m/s, ~0.8 deg/frame), SAME SensorModel noise
+constants as row D, dynamic cube with volume shifting engaged.
 
 Per-stage device time at production shapes (ms, jitted separately —
 the fused step overlaps some of these):
@@ -586,7 +729,27 @@ def main():
     _write_notes()
     mark(f"config A done: {fps_icp:.2f} fps")
 
-    # --- C: traversal (reuses A's compiled programs via traced dc) ---
+    # --- B: fused ICP+RGB-D (the ONE extra tracker-variant compile).
+    # Runs BEFORE C so the lap engine runs (now fused, VERDICT r4 #1)
+    # reuse B's compiled fused programs; per-frame warm included for
+    # the engine's per-frame head/tail frames.
+    if remaining() > 240:
+        try:
+            fps_rgbd, _ = _bench_orbit(
+                cfg.replace(icp_plus_rgbd=True), frames,
+                warm_per_frame_odometry=True,
+            )
+            RESULTS["fps_fused_rgbd"] = round(fps_rgbd, 2)
+            RESULTS["phases_done"].append("B")
+            mark(f"config B done: {fps_rgbd:.2f} fps")
+        except Exception as e:  # noqa: BLE001
+            mark(f"config B FAILED: {e!r}")
+        _write_notes()
+    else:
+        mark("skipping config B: out of budget")
+
+    # --- C: traversal (C1 reuses A's programs via traced dc; C2 the
+    # fused engine run on the pivot lap) ------------------------------
     if remaining() > 300:
         try:
             _bench_traversal(cfg)
@@ -598,18 +761,23 @@ def main():
     else:
         mark("skipping traversal: out of budget")
 
-    # --- B: fused ICP+RGB-D (the ONE extra tracker-variant compile) --
+    # --- C3: arc-cornered lap (realistic variant, pivot stays as the
+    # stress row — VERDICT r4 #1b) ------------------------------------
     if remaining() > 240:
         try:
-            fps_rgbd, _ = _bench_orbit(cfg.replace(icp_plus_rgbd=True), frames)
-            RESULTS["fps_fused_rgbd"] = round(fps_rgbd, 2)
-            RESULTS["phases_done"].append("B")
-            mark(f"config B done: {fps_rgbd:.2f} fps")
+            cfg_dc = cfg.replace(dynamic_cube=True)
+            _, _, _, log_a, gt_a = _lap_cache(cfg_dc, arc_radius=ARC_RADIUS)
+            res = _engine_lap_run(cfg_dc, log_a, gt_a, "bench_out_arc")
+            RESULTS.update({f"arc_lap_{k}": v for k, v in res.items()})
+            RESULTS["phases_done"].append("C3")
+            mark(f"C3 arc lap done: pre {res['ate_preloop_cm']} cm -> "
+                 f"final {res['ate_final_cm']} cm")
         except Exception as e:  # noqa: BLE001
-            mark(f"config B FAILED: {e!r}")
+            mark(f"C3 arc lap FAILED: {e!r}")
+            RESULTS["arc_lap_error"] = repr(e)[:200]
         _write_notes()
     else:
-        mark("skipping config B: out of budget")
+        mark("skipping arc lap: out of budget")
 
     # --- D: fr1/desk proxy accuracy (real data unfetchable) ----------
     if remaining() > 200:
@@ -622,6 +790,18 @@ def main():
         _write_notes()
     else:
         mark("skipping desk proxy: out of budget")
+
+    # --- E: lr kt2 proxy accuracy (BASELINE config 2 role) -----------
+    if remaining() > 200:
+        try:
+            _bench_lr_proxy(cfg)
+            RESULTS["phases_done"].append("E")
+        except Exception as e:  # noqa: BLE001
+            mark(f"lr proxy FAILED: {e!r}")
+            RESULTS["proxy_lr_error"] = repr(e)[:200]
+        _write_notes()
+    else:
+        mark("skipping lr proxy: out of budget")
 
     # --- stage table (optional) ---------------------------------------
     if remaining() > 180:

@@ -33,7 +33,7 @@ Flag-for-flag compatible with the reference CLI
 
 Extras beyond the reference: --fast (TPU blocked fast path),
 --resolution, --trunc, --viz-port (web viewer), --frame-limit (30 Hz
-throttle).
+throttle), --prior (constant-velocity odometry prior weight).
 
 Usage: python -m kintinuous_tpu.cli -l seq.klg -v vocab.npy -m -od -o mymap
 """
@@ -107,6 +107,12 @@ def build_config(argv) -> KintinuousConfig:
         help="blocked fast path: sparse TSDF updates + warm raycast + batched dispatch",
     )
     p.add_argument(
+        "--prior", dest="odom_prior_weight", type=float, default=0.0,
+        help="constant-velocity odometry prior weight (0 = off, the "
+             "reference's identity start; ~0.01 pins near-null motion "
+             "directions — see config.odom_prior_weight)",
+    )
+    p.add_argument(
         "--profile-dir", dest="profile_dir", type=str, default=None,
         help="write a jax.profiler trace of the run to this directory "
              "(view with TensorBoard / Perfetto)",
@@ -164,6 +170,7 @@ def build_config(argv) -> KintinuousConfig:
         online_deformation=a.online_deformation,
         rgbd_odometry=a.rgbd,
         icp_plus_rgbd=a.rgbd_icp,
+        odom_prior_weight=a.odom_prior_weight,
         frame_to_frame_rgbd=a.ftf,
         fast_odometry=a.fast_odometry,
         fast_loops=a.fast_loops,

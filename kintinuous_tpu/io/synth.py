@@ -767,6 +767,95 @@ def handheld_trajectory(
     return poses
 
 
+def living_room_scene() -> Scene:
+    """An ICL-NUIM living-room-class scene — the lr kt2 proxy. The real
+    lr kt2 is a POV-Ray-rendered ~5 x 4 m living room (sofa, armchair,
+    coffee table, shelving, lamps) swept smoothly by a camera that pans
+    most of the room; its challenge profile vs fr1/desk is LARGER extent
+    (volume shifting engages), LOWER clutter density (long stretches of
+    bare wall/floor where geometric-only ICP is weakly conditioned — the
+    reason BASELINE config 2 pairs it with fused ICP+RGB-D), and slower,
+    smoother motion. This scene reproduces that profile at the same
+    scale: a 5.2 x 4.2 m room whose furniture hugs the walls, leaving
+    the middle open so most viewpoints see a dominant wall/floor plane
+    plus sparse furniture."""
+    floor = 1.25  # y is image-down: +y floor
+    return Scene(
+        box_min=np.array([-2.6, -1.3, -2.1]),
+        box_max=np.array([2.6, floor, 2.1]),
+        cuboids=[
+            # sofa against +z wall: seat + backrest + armrests
+            Cuboid(np.array([-1.1, floor - 0.45, 1.55]),
+                   np.array([0.7, floor, 2.1])),
+            Cuboid(np.array([-1.1, floor - 0.85, 1.85]),
+                   np.array([0.7, floor - 0.45, 2.1])),
+            Cuboid(np.array([-1.35, floor - 0.62, 1.55]),
+                   np.array([-1.1, floor, 2.1])),
+            Cuboid(np.array([0.7, floor - 0.62, 1.55]),
+                   np.array([0.95, floor, 2.1])),
+            # armchair against +x wall
+            Cuboid(np.array([1.9, floor - 0.45, -0.5]),
+                   np.array([2.6, floor, 0.3])),
+            Cuboid(np.array([2.35, floor - 0.85, -0.5]),
+                   np.array([2.6, floor - 0.45, 0.3])),
+            # coffee table mid-room (thin top slab)
+            Cuboid(np.array([-0.5, floor - 0.4, 0.2]),
+                   np.array([0.45, floor - 0.34, 0.95])),
+            # shelving unit against -x wall
+            Cuboid(np.array([-2.6, floor - 1.7, -0.9]),
+                   np.array([-2.3, floor, 0.4])),
+            # low TV cabinet against -z wall
+            Cuboid(np.array([-0.8, floor - 0.5, -2.1]),
+                   np.array([0.9, floor, -1.75])),
+            # TV panel on the cabinet
+            Cuboid(np.array([-0.55, floor - 1.15, -2.1]),
+                   np.array([0.65, floor - 0.5, -2.02])),
+        ],
+        spheres=[
+            Sphere(np.array([1.05, floor - 1.45, 1.75]), 0.16),  # floor lamp
+            Sphere(np.array([-0.05, floor - 0.47, 0.55]), 0.10),  # table bowl
+            Sphere(np.array([-2.15, floor - 1.25, -0.25]), 0.12),  # shelf globe
+        ],
+    )
+
+
+def living_room_trajectory(
+    n_frames: int = 440,
+    rx: float = 1.05,
+    rz: float = 0.75,
+    seed: int = 5,
+) -> List[np.ndarray]:
+    """lr kt2-like sweep: the camera rides an ellipse around the room
+    centre looking OUTWARD at the walls/furniture, panning a full 360
+    over the loop and returning to its start pose — smooth, slow motion
+    (~0.26 m/s, ~0.8 deg/frame at 30 Hz, matching kt2's gentle profile)
+    with a gentle bob and slight pitch breathing. The ~6.6 m swept path
+    at living-room extent is what engages volume shifting."""
+    rng = np.random.default_rng(seed)
+    drift = rng.normal(0.0, 0.0015, (n_frames, 3))
+    k = np.array([0.25, 0.5, 0.25])
+    for a in range(3):
+        drift[:, a] = np.convolve(drift[:, a], k, mode="same")
+    poses = []
+    for i in range(n_frames):
+        ph = 2.0 * np.pi * i / n_frames
+        # position on the ellipse; view direction radially outward
+        pos = np.array([rx * np.sin(ph),
+                        0.06 * np.sin(2.0 * ph),
+                        rz * np.cos(ph)])
+        yaw = ph  # outward: view (sin yaw, 0, cos yaw) at yaw = ph
+        pitch = np.deg2rad(5.0) * np.sin(3.0 * ph)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4)
+        T[:3, :3] = Ry @ Rx
+        T[:3, 3] = pos + drift[i]
+        poses.append(T)
+    return poses
+
+
 def generate_klg_sensor(
     path: str,
     cam: CameraIntrinsics,

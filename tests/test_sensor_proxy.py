@@ -134,3 +134,50 @@ def test_desk_proxy_tracks_within_bound():
     )
     assert n == len(poses)
     assert ate < 0.18, f"desk proxy ATE {ate*100:.1f} cm"
+
+
+def test_living_room_proxy_tracks_with_shifting():
+    """End-to-end lr kt2-proxy slice: the living-room scene's viewpoints
+    are dominated by a single wall/floor plane (ICL-NUIM's low-geometry
+    regime — BASELINE config 2 pairs it with fused -ri), swept far
+    enough that the dynamic cube SHIFTS. Fused ICP+RGB-D + the
+    constant-velocity prior must hold tracking through the sweep."""
+    from kintinuous_tpu.io.synth import (
+        living_room_scene,
+        living_room_trajectory,
+    )
+
+    cfg = tiny_test_config(
+        camera=CAM,
+        volume_size=4.0,
+        volume_resolution=128,
+        fast_mode=True,
+        dynamic_cube=True,
+        icp_plus_rgbd=True,
+        odom_prior_weight=0.01,
+        pyramid_levels=4,
+        icp_iterations=(0, 10, 5, 0),
+        bilateral_radius=2,
+        extraction_capacity=200_000,
+        band_cap=2048,
+        voxel_shift=8,
+    )
+    poses = living_room_trajectory(n_frames=90)
+    model = SensorModel(lateral_px=0.2)
+    rng = np.random.default_rng(9)
+    scene = living_room_scene()
+    tracker = Tracker(cfg)
+    for i, T in enumerate(poses):
+        T_next = poses[i + 1] if i + 1 < len(poses) else None
+        d, c = render_frame_sensor(scene, CAM, T, model, rng, T_next)
+        tracker.process_frame(d, c, int(i * 1e6 / 30))
+    tracker.flush()
+    stamps = np.arange(len(poses)) / 30.0
+    ate, n = absolute_trajectory_error(
+        stamps, np.array(poses),
+        np.array(tracker.stamps_us) / 1e6, np.array(tracker.poses),
+    )
+    assert n == len(poses)
+    n_shift = int((np.array(tracker.shift_log) != 0).any(axis=1).sum())
+    assert n_shift >= 1, "sweep must engage volume shifting"
+    assert ate < 0.20, f"lr proxy ATE {ate*100:.1f} cm"
