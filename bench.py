@@ -686,6 +686,14 @@ the fused step overlaps some of these):
         f"| {k} | {v} |" for k, v in r.get("stage_ms", {}).items()
     ) + f"""
 
+Raycast roofline reconciliation (VERDICT r4 #4; tools/profile_raycast.py
+on the real chip, 512^3): 12.2 ms total = 4.6 deblock (768 MB at
+~170 GB/s, efficiency-bound small-contraction matmuls) + 3.9 window
+march (5 taps x 0.78 ms, ~30% MXU util incl. VPU collapses) + 2.1
+Newton (2 iters) + 1.6 XLA prologue/pass-2/post. The r4 header's ~2 ms
+modelled only pass-1 MXU+DMA at peak; the corrected model lives in the
+kernel header (ops/pallas_raycast.py).
+
 Frame budget: 33.3 ms at 30 Hz; headline frame time {1000.0/r['value'] if r['value'] else 0.0:.1f} ms.
 Total bench wall time {time.time()-T_START:.0f} s (budget {BUDGET_S} s).
 """

@@ -15,8 +15,21 @@ The XLA fast path (ops/raycast_fast.py) is bound by scalar HBM gathers
     same machinery yields analytic gradients (derivative weights) for
     Newton refinement and surface normals.
 
-Per half-res frame this is ~230 GMAC on the MXU + ~0.4 GB of tile DMA —
-roughly 2 ms of hardware time vs ~25-45 ms for the gather path.
+Cost model vs measurement (512^3, 320x240, reconciled r5 with
+tools/profile_raycast.py — the r4 header's "~2 ms" modelled ONLY the
+pass-1 MXU contractions + tile DMA at peak): measured 12.2 ms total =
+  4.6 ms  blocked->dense bf16 deblock (768 MB moved at ~170 GB/s —
+          the per-dx one-hot matmuls have <=64-wide contractions, so
+          the pass is dispatch/efficiency-bound, not BW-bound; ~3 ms
+          of headroom remains here)
+  3.9 ms  window march (5 taps x ~0.78 ms; the (2304,256)@(256,128)
+          tap matmuls run at ~30% MXU utilisation with the VPU y/z
+          collapses and two-hot weight builds in the shadow)
+  2.1 ms  Newton refine (2 iters x value+gradient taps)
+  1.6 ms  XLA prologue (warm start, per-tile median) + second-chance
+          pass + colour/normal post
+Still ~3x faster than the XLA gather path (~25-45 ms) and the largest
+remaining single-stage optimisation target in the frame.
 
 Pixels whose taps leave their tile's region (depth discontinuities far
 from the tile median, missing warm start) fall back to measurement-
