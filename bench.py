@@ -392,6 +392,22 @@ def _stage_table(cfg):
             trunc, newton=cfg.raycast_newton_iters,
         )
 
+    # production fast path: integrate maintains the dense bf16 mirror
+    # incrementally and the raycast consumes it (skipping the full
+    # per-frame deblock — tracker.TrackerState.logical)
+    def integ_inc(vol, logical, depth_m, rgb, color_w):
+        return integrate_pallas(
+            vol, cam, depth_m, rgb, color_w, pose, vsz,
+            trunc, 128.0, band_cap=cfg.band_cap,
+            fb_cap=cfg.fallback_band_cap, logical=logical,
+        )
+
+    def rayc_inc(vol, logical, depth_half):
+        return raycast_pallas(
+            vol, cam_half, pose, None, depth_half, vsz, cfg.volume_size,
+            trunc, newton=cfg.raycast_newton_iters, logical=logical,
+        )
+
     def icp(depth_half, rc_vmap, rc_nmap):
         curr = build_map_pyramid(cam_half, depth_half, 3)
         pred = pyramid_from_maps(rc_vmap, rc_nmap, 3)
@@ -431,6 +447,28 @@ def _stage_table(cfg):
     )
     ms["raycast_pallas"] = clock(j_ray, vol1, depth_half)
     ms["icp_3level"] = clock(j_icp, depth_half, rc.vmap, rc.nmap)
+
+    # incremental-mirror production path (non-shift frames): integrate
+    # refreshes only dirty row-pairs; raycast skips the full deblock
+    from kintinuous_tpu.ops.pallas_raycast import build_logical_bf16
+
+    R = cfg.volume_resolution
+    j_int2 = jax.jit(integ_inc, donate_argnums=(0, 1))
+    j_ray2 = jax.jit(rayc_inc)
+    log1 = jax.jit(lambda v: build_logical_bf16(v, R))(vol1)
+    vol2, log2 = j_int2(vol1, log1, depth_m, rgb, color_w)
+    jax.block_until_ready(j_ray2(vol2, log2, depth_half).depth)
+
+    def clock2(reps=20):
+        nonlocal vol2, log2
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            vol2, log2 = j_int2(vol2, log2, depth_m, rgb, color_w)
+        jax.block_until_ready(log2)
+        return (time.perf_counter() - t0) / reps * 1000.0
+
+    ms["integrate_incremental"] = clock2()
+    ms["raycast_incremental"] = clock(j_ray2, vol2, log2, depth_half)
     return {k: round(v, 2) for k, v in ms.items()}
 
 

@@ -603,12 +603,22 @@ def integrate_pallas(
     interpret: bool = False,
     resolution: int | None = None,
     z_block_offset=0,
+    logical=None,
+    dirty_all=None,
 ):
     """Wrap offsets must be multiples of 8 (fast-path invariant; the
     single-chip tracker keeps wrap 0 by physically rolling the volume).
     resolution/z_block_offset: as integrate_fast — pass the FULL volume
     resolution and this slab's first block-z index when vol holds only a
-    block-z slab (multi-chip fast path, parallel/fast_sharded.py)."""
+    block-z slab (multi-chip fast path, parallel/fast_sharded.py).
+
+    logical: optional (R,R,R) bf16 dense logical mirror of the volume
+    (DONATED). When given, every (bz,by)-row-pair this frame's plan
+    touches (band tiers + fb + carved free blocks) is refreshed in
+    place after fusion and (vol, logical) is returned — the raycast
+    then skips its full per-frame deblock (pallas_raycast.
+    update_logical_pairs). dirty_all: traced bool — force a full
+    rebuild (shift frames, where the blocked volume was rolled)."""
     if resolution is None:
         B = round(vol.tsdf.shape[0] ** (1 / 3))
         R = B * BLOCK
@@ -707,4 +717,35 @@ def integrate_pallas(
         vol.tsdf, vol.cw, plan.free_ids, plan.n_free, max_weight,
         interpret=interpret,
     )
-    return vol._replace(tsdf=t3, cw=c3)
+    vol = vol._replace(tsdf=t3, cw=c3)
+    if logical is None:
+        return vol
+
+    assert Bz == B, "incremental logical update is single-chip only"
+    from kintinuous_tpu.ops.pallas_raycast import update_logical_pairs
+
+    nb = 2 * B
+    n_pairs = (B * B) // 2
+    bm = jnp.zeros((n_pairs,), jnp.bool_)
+    for ids, n in (
+        (plan.t0_ids, plan.n_t0), (plan.pallas_ids, plan.n_pallas),
+        (plan.t2_ids, plan.n_t2), (plan.fb_ids, plan.n_fb),
+        (plan.free_ids, plan.n_free),
+    ):
+        p = jnp.where(
+            jnp.arange(ids.shape[0], dtype=jnp.int32) < n, ids // nb, n_pairs
+        )
+        bm = bm.at[p].set(True, mode="drop")
+    if dirty_all is not None:
+        bm = bm | dirty_all
+    cnt = bm.sum().astype(jnp.int32)
+    dest = jnp.where(
+        bm, jnp.cumsum(bm.astype(jnp.int32)) - 1, n_pairs
+    )
+    pairs = jnp.zeros((n_pairs,), jnp.int32).at[dest].set(
+        jnp.arange(n_pairs, dtype=jnp.int32), mode="drop"
+    )
+    logical = update_logical_pairs(
+        vol.tsdf, logical, pairs, cnt, R, interpret=interpret
+    )
+    return vol, logical

@@ -123,6 +123,21 @@ def _tracker_payload(tracker: Tracker):
     return arrays, meta
 
 
+def _rebuild_logical(tracker: Tracker, vol):
+    """The dense bf16 mirror is derived state: rebuild it from the
+    restored blocked volume rather than checkpointing 256 MB."""
+    if tracker.state.logical is None:
+        return None
+    import jax
+
+    from kintinuous_tpu.ops.pallas_raycast import build_logical_bf16
+
+    return build_logical_bf16(
+        vol, tracker.cfg.volume_resolution,
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )
+
+
 def _restore_tracker(data, meta, tracker: Tracker) -> Tracker:
     rgbd = tracker.state.rgbd  # keep freshly-initialised pyramids
     if tracker.cfg.fast_mode:
@@ -150,6 +165,7 @@ def _restore_tracker(data, meta, tracker: Tracker) -> Tracker:
             data.get("prev_delta", np.eye(4, dtype=np.float32))
         ),
         pw=tracker.state.pw,  # config-derived, keep the fresh value
+        logical=_rebuild_logical(tracker, vol),
     )
     tracker.poses = [p for p in data["poses"]]
     tracker.stamps_us = [int(t) for t in data["stamps_us"]]
